@@ -1,0 +1,84 @@
+"""Table catalog over the test parquet directories.
+
+The reference materializes every extract eagerly (reference
+``app/utils/extractor.py:96-105`` does ``fetchall()`` into pandas); here a
+"table" is a lazy ``spark.read.parquet`` plan so Catalyst sees column
+pruning and predicate pushdown opportunities across the whole query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["TABLE_NAMES", "Tables", "default_sf_dir"]
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Tables:
+    """Lazy accessor: ``Tables(spark, sf_dir).lineitem`` → DataFrame plan.
+
+    Each attribute is a fresh ``spark.read.parquet`` logical plan; no data
+    moves until an action. ``view()`` registers temp views for SQL-form
+    operators.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir or default_sf_dir()
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLE_NAMES:
+            raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+        if name not in self._cache:
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            if name == "events":
+                df = self._read_events(path)
+            else:
+                df = self.spark.read.parquet(path)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def _read_events(self, path: str) -> DataFrame:
+        """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        rejects; read nanos as long (legacy conf) and rebuild a
+        TimestampNTZ at microsecond precision — the same floor-to-micros
+        DuckDB applies when fetching ns timestamps."""
+        from pyspark.sql import functions as F
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            return self.table(name)
+        except KeyError as exc:  # pragma: no cover
+            raise AttributeError(name) from exc
+
+    def view(self, *names: str) -> None:
+        """Register temp views (default: all tables) for spark.sql use."""
+        for name in names or TABLE_NAMES:
+            self.table(name).createOrReplaceTempView(name)

@@ -1,0 +1,238 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2C1-C2).
+
+Scale design: every variant is expressed as hash-partitionable DataFrame
+ops — group-bys on a fingerprint key and band-bucket self-joins — exactly
+the shapes that shuffle cleanly at 100 TB. Hashes are md5 (available and
+identical in Spark and DuckDB) so the exact/fingerprint/minhash stages are
+oracle-checkable; only the final graph-clustering step is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.registry import register
+
+# shared normalization: lowercase, collapse whitespace, trim.
+def _norm(col: F.Column) -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+_NORM_SQL = "TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+           MD5({_NORM_SQL}) AS fp
+    FROM documents
+    GROUP BY MD5({_NORM_SQL})
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on a normalized-content fingerprint, keep the
+    smallest doc_id per group (deterministic representative — plain
+    dropDuplicates keeps an arbitrary row, which can't be oracle-checked).
+    One shuffle on the fingerprint; fingerprints are 128-bit so the
+    group-by key is tiny regardless of document size."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", F.md5(_norm(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies", "fp")
+    )
+
+
+_N_HASHES = 16  # minhash signature length; 2 bands x 8 rows
+_BANDS = 2
+
+
+def _minhash_cols() -> list[F.Column]:
+    """k min-hashes over the word set: mh_j = min(md5(word || '#j'))."""
+    words = F.array_distinct(F.split(_norm(F.col("text")), " "))
+    return [
+        F.array_min(F.transform(words, lambda w: F.md5(F.concat(w, F.lit(f"#{j}"))))).alias(
+            f"mh_{j}"
+        )
+        for j in range(_N_HASHES)
+    ]
+
+
+def _minhash_sql_cols() -> str:
+    words = f"list_distinct(string_split({_NORM_SQL}, ' '))"
+    cols = [
+        f"list_min(list_transform({words}, w -> MD5(w || '#{j}'))) AS mh_{j}"
+        for j in range(_N_HASHES)
+    ]
+    return ",\n           ".join(cols)
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"""
+    SELECT doc_id,
+           {_minhash_sql_cols()}
+    FROM documents
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (shingle→minhash stage of MinHash-LSH dedup):
+    k=8 per-document min-hashes over the distinct-word set, computed as
+    JVM array expressions — embarrassingly parallel, no shuffle at all."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select("doc_id", *_minhash_cols())
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=None,  # band-bucket self-join; pair set is checked rows-only
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: hash the signature into bands, self-join on
+    (band_index, band_hash) buckets, emit candidate near-dup pairs.
+    The self-join shuffles on the band hash — bounded bucket sizes keep
+    the quadratic blowup local, the scale property LSH exists for."""
+    t = Tables(spark, sf_dir)
+    sig = t.documents.select("doc_id", *_minhash_cols())
+    rows_per_band = _N_HASHES // _BANDS
+    bands = sig.select(
+        "doc_id",
+        F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                )
+                for b in range(_BANDS)
+            ]
+        ).alias("band_hashes"),
+    ).select("doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_filter(
+                    list_distinct(string_split(LOWER(a.text), ' ')),
+                    w -> list_contains(list_distinct(string_split(LOWER(b.text), ' ')), w)
+                )) AS DOUBLE)
+           / len(list_distinct(string_split(LOWER(a.text), ' ')
+                 || string_split(LOWER(b.text), ' '))) AS jaccard
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 40 AND b.doc_id < 40
+      AND CAST(len(list_filter(
+                  list_distinct(string_split(LOWER(a.text), ' ')),
+                  w -> list_contains(list_distinct(string_split(LOWER(b.text), ' ')), w)
+              )) AS DOUBLE)
+          / len(list_distinct(string_split(LOWER(a.text), ' ')
+                || string_split(LOWER(b.text), ' '))) >= 0.3
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard similarity on a bounded candidate block —
+    the verification stage that follows MinHash candidate generation
+    (MinHash approximates exactly this). Set algebra runs as JVM array
+    expressions; at scale this only ever runs on LSH candidate pairs,
+    never the full cross product."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") < 40).select(
+        "doc_id", F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("words")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # bit-level simhash uses xxhash64 (Spark-specific) → rows-only
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 32-bit signature where bit i is the sign of the sum over
+    tokens of (+1/-1 from token-hash bit i). Hamming-close signatures ≈
+    similar documents. Pure JVM expressions (xxhash64 + bit ops); at scale,
+    group on signature prefixes to bucket candidates."""
+    t = Tables(spark, sf_dir)
+    words = F.array_distinct(F.split(_norm(F.col("text")), " "))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+        )
+        for i in range(32)
+    ]
+    sig = None
+    for i, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return t.documents.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+@register(
+    "dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+           / (SQRT(list_aggregate(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * SQRT(list_aggregate(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 150 AND b.vec_id < 150
+      AND list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+          / (SQRT(list_aggregate(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             * SQRT(list_aggregate(list_transform(b.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= 0.3
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection on a bounded candidate block.
+    At scale the block comes from an ANN bucketing stage (see
+    operators/similarity.py); the kernel here is the same JVM-side cosine
+    as sim_topk."""
+    from data_bridge_spark.functions.vectors import cosine_similarity
+
+    t = Tables(spark, sf_dir)
+    vecs = t.embeddings.filter(F.col("vec_id") < 150).select("vec_id", "embedding")
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )

@@ -1,0 +1,171 @@
+"""Event/time-series operators over the `events` table (SURVEY.md §2D).
+
+Batch-mode equivalents of the streaming windows (oracle-checkable against
+DuckDB); `streaming/windows.py` runs the same logic as Structured
+Streaming with watermarks. Window starts are computed with epoch
+arithmetic so both engines bucket identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.functions.exact import dsum
+from data_bridge_spark.registry import register
+
+
+@register(
+    "win_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window"),
+)
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows (streaming's bread-and-butter agg in
+    batch form): `F.window` buckets rows; one shuffle on (window, type)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "win_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events, UNNEST([0, 1]) AS t(k)
+    GROUP BY 1
+    """,
+    tags=("events", "window"),
+)
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute length, 5-minute slide — every event
+    lands in 2 windows (Spark's F.window handles replication; the oracle
+    replicates via UNNEST)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "win_session",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "session"),
+)
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-minute inactivity gap): lag → gap flag → running
+    sum = session id, then per-session aggregates. Batch equivalent of
+    streaming `session_window`; one shuffle on user_id serves all three
+    window steps."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = t.events.select("user_id", "ts", "event_id").withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    run = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_ts
+    FROM events
+    WHERE user_id <= 50
+    """,
+    tags=("events", "asof"),
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a window: for each event, the timestamp of
+    the user's most recent *prior* 'purchase' event. Spark has no native
+    as-of join; last_value(ignorenulls) over an ordered frame is the
+    shuffle-minimal composition (one exchange on user_id)."""
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return t.events.filter(F.col("user_id") <= 50).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(purchase_ts, ignorenulls=True).over(w).alias("prev_purchase_ts"),
+    )
+
+
+@register(
+    "events_pivot",
+    oracle="""
+    SELECT user_id,
+           COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+           COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+           COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
+           COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("events", "pivot"),
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per user by type. Explicit value list keeps the
+    plan a single-pass pivot (no extra distinct scan to discover values)."""
+    t = Tables(spark, sf_dir)
+    types = ["click", "view", "purchase", "error", "signup"]
+    return (
+        t.events.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .select("user_id", *[F.col(c).alias(c) for c in types])
+    )

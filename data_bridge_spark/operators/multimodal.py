@@ -1,0 +1,91 @@
+"""Multimodal (binary) column operators (SURVEY.md §2C9).
+
+The reference moves opaque blobs around as BytesIO buffers (reference
+``app/utils/extractor.py:29-50``); at scale the same idea is a
+``BinaryType`` column with typed metadata columns beside it. The decode /
+feature-extract step is a ``mapInPandas`` batch UDF whose *plumbing*
+(schema, batch iteration, partitioning) is real; the actual image/audio
+codec is stubbed behind ``decode_image`` because codec libraries are not
+in this environment — a deterministic fake keeps the pipeline testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.registry import register
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real codec goes here (PIL/cv2 are not installed in this container).
+
+    The mapInPandas plumbing around this stub — Arrow batches of binary
+    payloads in, fixed-schema feature rows out — is the production shape.
+    """
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def _fake_features(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for decode+feature-extract: byte length,
+    first-byte 'channel', mean byte value."""
+    n = len(payload)
+    return n, payload[0] if n else 0, (sum(payload) / n) if n else 0.0
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           MD5(text) AS payload_md5
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: materialize a BinaryType payload column
+    (UTF-8 bytes of `text` stand in for image bytes), compute size and
+    content hash JVM-side. At 100 TB this is the manifest pass that runs
+    before any expensive decode."""
+    t = Tables(spark, sf_dir)
+    payload = F.encode(F.col("text"), "utf-8")
+    return t.documents.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+@register(
+    "mm_features",
+    oracle=None,  # pandas-side feature extraction → rows-only check
+    tags=("multimodal", "udf"),
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas: Arrow
+    batches stream through Python once, output schema is fixed and typed.
+    Swap `_fake_features` for `decode_image` + a real model at will — the
+    Spark-side contract does not change."""
+    t = Tables(spark, sf_dir)
+    src = t.documents.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [f[0] for f in feats],
+                    "first_byte": [f[1] for f in feats],
+                    "mean_byte": [f[2] for f in feats],
+                }
+            )
+
+    return src.mapInPandas(
+        extract, schema="doc_id long, n_bytes long, first_byte integer, mean_byte double"
+    )

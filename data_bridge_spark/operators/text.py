@@ -1,0 +1,159 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2C5).
+
+All pure JVM expressions over `documents.text` — tokenization, counting,
+quality scoring, language heuristics, fingerprinting. Per-row work with no
+shuffle: scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.registry import register
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+_SW_SQL = "', '".join(_STOPWORDS)
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_actual,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(LOWER(text), ' '))) AS INTEGER) AS n_unique,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization, unique-token count, average
+    token length — the basic stats a data-quality pass computes per doc."""
+    t = Tables(spark, sf_dir)
+    text = F.col("text")
+    tokens = F.split(text, " ")
+    return t.documents.select(
+        "doc_id",
+        F.length(text).alias("n_chars_actual"),
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(text), " "))).alias("n_unique"),
+        (F.length(F.regexp_replace(text, " ", "")).cast("double") / F.size(tokens)).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(LOWER(text), ' '),
+                    w -> w IN ('{_SW_SQL}'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z ]', '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS symbol_ratio,
+           CAST(len(list_distinct(string_split(LOWER(text), ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS unique_ratio
+    FROM documents
+    WHERE LENGTH(text) > 0
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio (fluency proxy), symbol ratio
+    (noise proxy), unique-token ratio (repetition proxy) — the standard
+    cheap filters run before expensive dedup/training."""
+    t = Tables(spark, sf_dir)
+    text = F.col("text")
+    tokens = F.split(text, " ")
+    lower_tokens = F.split(F.lower(text), " ")
+    sw = F.size(F.filter(lower_tokens, lambda w: w.isin(*_STOPWORDS)))
+    return t.documents.filter(F.length(text) > 0).select(
+        "doc_id",
+        (sw.cast("double") / F.size(tokens)).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(text, "[a-zA-Z ]", "")).cast("double") / F.length(text)
+        ).alias("symbol_ratio"),
+        (F.size(F.array_distinct(lower_tokens)).cast("double") / F.size(tokens)).alias(
+            "unique_ratio"
+        ),
+    )
+
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ("the", "and", "is"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "la", "est"),
+    "de": ("der", "die", "und"),
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = "', '".join(_LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(LOWER(text), ' '), w -> w IN ('{words}')))"
+
+
+@register(
+    "text_lang",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN {_lang_score_sql("es")} > {_lang_score_sql("en")} THEN 'es'
+             WHEN {_lang_score_sql("fr")} > {_lang_score_sql("en")} THEN 'fr'
+             WHEN {_lang_score_sql("de")} > {_lang_score_sql("en")} THEN 'de'
+             ELSE 'en'
+           END AS predicted_lang
+    FROM documents
+    """,
+    tags=("text", "langid"),
+)
+def text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count per-language marker tokens, pick the
+    best-scoring language (deterministic tie order es→fr→de→en). A real
+    pipeline swaps the lexicons for char-n-gram profiles; the plan shape —
+    per-row scoring, no shuffle — is identical."""
+    t = Tables(spark, sf_dir)
+    lower_tokens = F.split(F.lower(F.col("text")), " ")
+
+    def score(lang: str) -> F.Column:
+        return F.size(F.filter(lower_tokens, lambda w: w.isin(*_LANG_MARKERS[lang])))
+
+    pred = (
+        F.when(score("es") > score("en"), "es")
+        .when(score("fr") > score("en"), "fr")
+        .when(score("de") > score("en"), "de")
+        .otherwise("en")
+    )
+    return t.documents.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS content_fp,
+           MD5(array_to_string(list_sort(list_distinct(
+               string_split(LOWER(text), ' '))), ' ')) AS bow_fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: a normalized-content hash (exact-dup key)
+    and a sorted bag-of-words hash (order-insensitive near-dup key). Both
+    are join/group keys downstream — 128 bits per doc regardless of size."""
+    t = Tables(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    bow = F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " ")
+    return t.documents.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.md5(bow).alias("bow_fp"),
+    )

@@ -1,0 +1,107 @@
+"""Window-function operators (SURVEY.md §2B15-B16).
+
+Window partitioning maps 1:1 onto Spark's shuffle: one exchange on the
+partition key serves every frame over it. Order columns always include a
+unique tiebreak so ranks and running sums are total — required both for
+the oracle hash and for deterministic results under re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.registry import register
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N (the reference segments per campus_code,
+    sample.config.yaml:86,96): rank within partition, keep N. At scale:
+    one shuffle on the partition key; no global sort."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        t.orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey <= 50
+    """,
+    tags=("window",),
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate over an ordered frame
+    (SURVEY §2B16). Decimal-exact so the prefix sums are identical in any
+    engine; the order (shipdate, orderkey, linenumber) is total."""
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.lineitem.filter(F.col("l_suppkey") <= 50)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .withColumn(
+            "running_qty",
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w).cast("double"),
+        )
+        .drop("l_shipdate")
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice
+                - LAG(o_totalprice) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ) AS DOUBLE) AS price_delta
+    FROM orders
+    WHERE o_custkey <= 200
+    """,
+    tags=("window",),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-based delta between consecutive rows per key — the building
+    block for sessionization and CDC-style diffs (SURVEY §2B16/§2D)."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        t.orders.filter(F.col("o_custkey") <= 200)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn(
+            "price_delta",
+            (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).cast("double"),
+        )
+        .select("o_custkey", "o_orderkey", "price_delta")
+    )

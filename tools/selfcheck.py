@@ -1,0 +1,126 @@
+"""Self-check harness: emulates the driver's correctness gate locally.
+
+For every registered query: run the Spark plan and the DuckDB oracle on
+the same sf dir, compare row count, sorted column names, and the full
+order-insensitive multiset of values (strict equality after canonical
+normalization — at least as strict as any value hash the driver uses).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from data_bridge_spark.catalog import TABLE_NAMES
+from data_bridge_spark.registry import load_all
+from data_bridge_spark.session import get_spark
+
+
+def canon(v: object) -> object:
+    """Canonical form for cross-engine value comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — strict bit-level compare
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    return str(v)
+
+
+def rowset(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Column-name-sorted, row-sorted canonical multiset."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    registry = load_all()
+    names = [n for n in registry if not only or n in only]
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures: list[str] = []
+    for name in names:
+        q = registry[name]
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            print(f"ok   {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"WARN {name}: 0 rows")
+            continue
+        try:
+            res = con.execute(q.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            sset = rowset(scols, srows)
+            oset = rowset(ocols, orows)
+            if sset != oset:
+                diffs = [
+                    (a, b) for a, b in zip(sset, oset) if a != b
+                ][:3]
+                problems.append(f"values differ; first diffs: {diffs}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"WARN {name}: 0 rows")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries pass")
+    if failures:
+        print("failing:", " ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
