@@ -1,0 +1,71 @@
+"""Unit tests for the ::key:: templating grammar (SURVEY §2A5-A8)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from data_bridge_spark.functions.templating import (
+    MACROS,
+    render_sql,
+    resolve_params,
+    sql_literal,
+)
+
+
+def test_scalar_substitution():
+    assert (
+        render_sql("SELECT * FROM t WHERE a = ::x::", {"x": 7})
+        == "SELECT * FROM t WHERE a = 7"
+    )
+
+
+def test_string_quoting_and_escaping():
+    assert sql_literal("O'Brien") == "'O''Brien'"
+    out = render_sql("WHERE name = ::n::", {"n": "O'Brien"})
+    assert out == "WHERE name = 'O''Brien'"
+
+
+def test_list_expands_to_in_list():
+    out = render_sql("WHERE x IN (::xs::)", {"xs": [1, 2, 3]})
+    assert out == "WHERE x IN (1, 2, 3)"
+    out = render_sql("WHERE s IN (::ss::)", {"ss": ["a", "b"]})
+    assert out == "WHERE s IN ('a', 'b')"
+
+
+def test_date_and_null_literals():
+    assert sql_literal(dt.date(2024, 7, 1)) == "DATE '2024-07-01'"
+    assert sql_literal(dt.datetime(2024, 7, 1, 12, 30)) == "TIMESTAMP '2024-07-01 12:30:00'"
+    assert sql_literal(None) == "NULL"
+    assert sql_literal(True) == "TRUE"
+
+
+def test_step_reference_resolution():
+    # reference extractor.py:107-114: "step:<name>" reads a prior output
+    resolved = resolve_params({"ids": "step:id_list"}, {"id_list": [5, 6]})
+    assert resolved["ids"] == [5, 6]
+    with pytest.raises(KeyError):
+        resolve_params({"ids": "step:missing"}, {})
+
+
+def test_macro_resolution_school_year():
+    # reference macros.py:4-11: after July → year + 1
+    fn = MACROS["SCHOOL_YEAR"]
+    assert fn(dt.date(2024, 8, 1)) == 2025
+    assert fn(dt.date(2024, 7, 1)) == 2024
+
+
+def test_macro_yyyymmdd_fixed_format():
+    # reference macros.py:15 bug was %Y%M%D; intended semantics:
+    assert MACROS["YYYYMMDD"](dt.date(2024, 3, 5)) == "20240305"
+
+
+def test_unknown_placeholder_raises():
+    with pytest.raises(KeyError):
+        render_sql("WHERE a = ::missing::", {})
+
+
+def test_repeated_placeholder():
+    out = render_sql("WHERE a = ::x:: OR b = ::x::", {"x": 1})
+    assert out == "WHERE a = 1 OR b = 1"
