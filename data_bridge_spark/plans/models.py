@@ -1,0 +1,253 @@
+"""Config & state models for the stream pipeline.
+
+Carries over the reference's config schema (reference
+``app/utils/models.py:26-219``: sources, destinations, steps, stream —
+Pydantic discriminated unions on ``protocol`` / ``step_type``) with the
+intended-semantics fixes from SURVEY.md §2E:
+
+- ``step_type`` is the field AND what dispatch reads (ref bug #5),
+- ``TransformStep.function`` holds a real callable (ref bug #13),
+- the Load union contains the SMTP step (ref bug #8),
+- string-literal unions replaced with proper typing (ref bug #7).
+
+The payload flowing between steps is no longer a materialized
+``StreamData`` envelope (ref ``models.py:242-297``) but a ``StepValue``:
+a *lazy* Spark DataFrame, or a driver-side scalar/list produced by a
+declared collect edge (SURVEY §2B13).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+from typing import Annotated, Any, Literal, Union
+
+from pydantic import BaseModel, ConfigDict, Field
+
+# ---------------------------------------------------------------- sources
+
+
+class SourceSql(BaseModel):
+    """JDBC relational source (ref models.py SourceSql / extractor.py:57-105)."""
+
+    protocol: Literal["sql"] = "sql"
+    name: str
+    url: str  # full JDBC url
+    driver: str = ""
+    user: str = ""
+    password: str = ""
+
+
+class SourceFile(BaseModel):
+    """Table files on a locally-visible path (parquet/csv/json).
+
+    Replaces the reference's fileshare byte-buffer read
+    (extractor.py:29-37) with a distributed columnar scan.
+    """
+
+    protocol: Literal["file"] = "file"
+    name: str
+    path: str
+    format: Literal["parquet", "csv", "json"] = "parquet"
+    options: dict[str, str] = Field(default_factory=dict)
+    schema_ddl: str | None = None  # explicit DDL schema; None → infer
+
+
+class SourceSftp(BaseModel):
+    """Remote file fetched to a local staging dir, then read (ref
+    extractor.py:39-50; driver-side there too)."""
+
+    protocol: Literal["sftp"] = "sftp"
+    name: str
+    host: str
+    port: int = 22
+    user: str = ""
+    password: str = ""
+    remote_path: str = ""
+    format: Literal["parquet", "csv", "json"] = "csv"
+
+
+class SourceDrive(BaseModel):
+    """Google Drive source — stub in the reference (extractor.py:52-55)."""
+
+    protocol: Literal["drive"] = "drive"
+    name: str
+    file_id: str = ""
+
+
+Source = Annotated[
+    Union[SourceSql, SourceFile, SourceSftp, SourceDrive],
+    Field(discriminator="protocol"),
+]
+
+# ----------------------------------------------------------- destinations
+
+
+class DestFileshare(BaseModel):
+    """Write to a mounted path (ref loader.py:111-139)."""
+
+    protocol: Literal["fileshare"] = "fileshare"
+    name: str
+    mount_path: str
+    remote_dir: str = ""
+
+
+class DestSftp(BaseModel):
+    """Upload the written artifact over SFTP (ref loader.py:141-172)."""
+
+    protocol: Literal["sftp"] = "sftp"
+    name: str
+    host: str
+    port: int = 22
+    user: str = ""
+    password: str = ""
+    remote_dir: str = ""
+
+
+class DestSmtp(BaseModel):
+    """Email delivery (ref loader.py:26-65)."""
+
+    protocol: Literal["smtp"] = "smtp"
+    name: str
+    host: str
+    port: int = 587
+    user: str = ""
+    password: str = ""
+    use_tls: bool = True
+
+
+class DestDrive(BaseModel):
+    """Google Drive sink — stub in the reference (loader.py:174-179)."""
+
+    protocol: Literal["drive"] = "drive"
+    name: str
+    folder_id: str = ""
+
+
+Destination = Annotated[
+    Union[DestFileshare, DestSftp, DestSmtp, DestDrive],
+    Field(discriminator="protocol"),
+]
+
+# ------------------------------------------------------------------ steps
+
+
+class ExtractStep(BaseModel):
+    """Extract: source + (optionally templated) query → named DataFrame.
+
+    ``params`` values support the reference grammar: literals,
+    ``step:<name>`` and ``macro:<name>`` (ref extractor.py:107-120).
+    """
+
+    step_type: Literal["extract"] = "extract"
+    name: str
+    source: str  # source name
+    output: str
+    table: str | None = None  # file-source table name / jdbc table
+    query: str | None = None  # inline SQL with ::key:: placeholders
+    query_file: str | None = None  # path to SQL template
+    params: dict[str, Any] = Field(default_factory=dict)
+
+
+class TransformStep(BaseModel):
+    """Transform: named inputs → user function → named outputs.
+
+    The function contract is Spark-native:
+    ``dict[str, DataFrame|Any] → dict[str, DataFrame|Any]`` — the lazy
+    analog of the reference's pandas TransformFunc
+    (ref models.py:225-230, README.md:86-89).
+    """
+
+    model_config = ConfigDict(arbitrary_types_allowed=True)
+
+    step_type: Literal["transform"] = "transform"
+    name: str
+    input: list[str]
+    output: list[str]
+    function: Callable[..., dict[str, Any]] | None = None
+    function_name: str | None = None  # resolved from the registry at load
+
+
+class CollectStep(BaseModel):
+    """Declared lazy→driver edge (SURVEY §2B13): collect one column of an
+    upstream DataFrame into a Python list (for ``step:`` params /
+    recipients). The only place the runner materializes mid-DAG."""
+
+    step_type: Literal["collect"] = "collect"
+    name: str
+    input: str
+    output: str
+    column: str | None = None  # default: first column
+    mode: Literal["list", "scalar"] = "list"
+
+
+class LoadStep(BaseModel):
+    """Load: named input → destination. Includes SMTP (ref bug #8 made
+    SmtpLoadStep unreachable from config)."""
+
+    step_type: Literal["load"] = "load"
+    name: str
+    destination: str
+    input: str
+    file_name: str = "output.csv"
+    format: Literal["csv", "parquet", "json"] = "csv"
+    single_file: bool = True  # reference semantics: one artifact per load
+    # smtp-only:
+    subject: str = ""
+    sender: str = ""
+    recipients: list[str] = Field(default_factory=list)  # literal or "step:<name>"
+    body: str = ""
+
+
+Step = Annotated[
+    Union[ExtractStep, TransformStep, CollectStep, LoadStep],
+    Field(discriminator="step_type"),
+]
+
+# ----------------------------------------------------------------- stream
+
+
+class Stream(BaseModel):
+    """One named pipeline: ordered steps over shared named outputs
+    (ref models.py Stream + sample.config.yaml:69-207)."""
+
+    name: str
+    log_level: str = "INFO"
+    sources: list[Source] = Field(default_factory=list)
+    destinations: list[Destination] = Field(default_factory=list)
+    steps: list[Step]
+
+    def source(self, name: str) -> Source:
+        for s in self.sources:
+            if s.name == name:
+                return s
+        raise KeyError(f"unknown source {name!r}")
+
+    def destination(self, name: str) -> Destination:
+        for d in self.destinations:
+            if d.name == name:
+                return d
+        raise KeyError(f"unknown destination {name!r}")
+
+
+class DestinationResponse(BaseModel):
+    """Per-load delivery receipt (ref models.py:300-305)."""
+
+    destination_name: str
+    status: Literal["success", "failure"]
+    message: str = ""
+    records_processed: int = 0
+    timestamp: dt.datetime = Field(default_factory=dt.datetime.now)
+
+
+class RunResult(BaseModel):
+    """Run metadata (ref DataStore, models.py:308-321) — without the
+    materialized step_outputs dict: intermediates are lazy plans owned by
+    the runner, not state to persist."""
+
+    run_id: str
+    stream_name: str
+    status: Literal["running", "success", "failed"]
+    start_time: dt.datetime
+    end_time: dt.datetime | None = None
+    dest_responses: list[DestinationResponse] = Field(default_factory=list)

@@ -1,0 +1,212 @@
+"""Sinks: deliver query results, returning a DestinationResponse receipt
+per load (reference ``app/utils/loader.py:54-65``).
+
+Two write shapes:
+
+- **distributed**: ``df.write.*`` straight to the destination path —
+  the 100 TB path, one file per partition.
+- **single-file** (the reference's semantics: one CSV buffer per delivery,
+  ``transformutils.py:7-13``): written distributed to a temp dir with
+  ``coalesce(1)`` and the single part-file moved to the target name. The
+  data still never collects onto the driver as rows.
+
+SMTP/SFTP network hops are driver-side by design (the reference is
+single-node there too, ``loader.py:26-65,141-172``); transports are
+injectable so tests run without live peers.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import smtplib
+import tempfile
+from email.message import EmailMessage
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+
+from data_bridge_spark.plans.models import DestinationResponse
+
+if TYPE_CHECKING:
+    from data_bridge_spark.plans.models import DestSftp, DestSmtp
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "csv",
+    single_file: bool = False,
+    mode: str = "overwrite",
+) -> int:
+    """Write a DataFrame to ``path``; returns rows written.
+
+    ``single_file=True`` produces exactly one artifact at ``path`` (the
+    reference's per-delivery CSV, A11); otherwise ``path`` is a directory
+    of part files (distributed layout).
+    """
+    n = df.count()
+    if not single_file:
+        writer = df.write.mode(mode)
+        if fmt == "csv":
+            writer.option("header", "true").csv(path)
+        elif fmt == "parquet":
+            writer.parquet(path)
+        else:
+            writer.json(path)
+        return n
+
+    tmp = tempfile.mkdtemp(prefix="dbs_sink_")
+    try:
+        out = os.path.join(tmp, "out")
+        writer = df.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(out)
+            pattern = "part-*.csv"
+        elif fmt == "parquet":
+            writer.parquet(out)
+            pattern = "part-*.parquet"
+        else:
+            writer.json(out)
+            pattern = "part-*.json"
+        parts = glob.glob(os.path.join(out, pattern))
+        if len(parts) != 1:  # pragma: no cover
+            raise RuntimeError(f"expected one part file, found {parts}")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        shutil.move(parts[0], path)
+        return n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_fileshare(
+    df: DataFrame,
+    mount_path: str,
+    remote_dir: str,
+    file_name: str,
+    fmt: str = "csv",
+    single_file: bool = True,
+    destination_name: str = "fileshare",
+) -> DestinationResponse:
+    """Mounted-share delivery (ref loader.py:111-139)."""
+    target = os.path.join(mount_path, remote_dir, file_name)
+    try:
+        n = write_table(df, target, fmt=fmt, single_file=single_file)
+        return DestinationResponse(
+            destination_name=destination_name,
+            status="success",
+            message=f"wrote {target}",
+            records_processed=n,
+        )
+    except Exception as exc:
+        return DestinationResponse(
+            destination_name=destination_name, status="failure", message=str(exc)
+        )
+
+
+def write_sftp(
+    df: DataFrame,
+    dest: "DestSftp",
+    file_name: str,
+    fmt: str = "csv",
+    transport: Any | None = None,
+) -> DestinationResponse:
+    """SFTP delivery: write the single artifact locally, upload it
+    (ref loader.py:141-172). ``transport.put(local, remote)`` injectable."""
+    tmp = tempfile.mkdtemp(prefix="dbs_sftp_out_")
+    local = os.path.join(tmp, file_name)
+    try:
+        n = write_table(df, local, fmt=fmt, single_file=True)
+        remote = os.path.join(dest.remote_dir, file_name)
+        if transport is not None:
+            transport.put(local, remote)
+        else:  # pragma: no cover - needs a live SFTP peer
+            try:
+                import paramiko  # type: ignore
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "SFTP transport requires paramiko (not installed); pass transport="
+                ) from exc
+            client = paramiko.SSHClient()
+            client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
+            client.connect(dest.host, port=dest.port, username=dest.user, password=dest.password)
+            sftp = client.open_sftp()
+            try:
+                sftp.put(local, remote)
+            finally:
+                sftp.close()
+                client.close()
+        return DestinationResponse(
+            destination_name=dest.name,
+            status="success",
+            message=f"uploaded {remote}",
+            records_processed=n,
+        )
+    except Exception as exc:
+        return DestinationResponse(destination_name=dest.name, status="failure", message=str(exc))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def build_email(
+    subject: str,
+    sender: str,
+    recipients: list[str],
+    body: str,
+    attachments: dict[str, bytes] | None = None,
+) -> EmailMessage:
+    """EmailMessage builder (ref transformutils.py:16-34 with bug #10
+    fixed: attachments iterate correctly and None is allowed)."""
+    msg = EmailMessage()
+    msg["Subject"] = subject
+    msg["From"] = sender
+    msg["To"] = ", ".join(recipients)
+    msg.set_content(body)
+    for name, payload in (attachments or {}).items():
+        msg.add_attachment(payload, maintype="application", subtype="octet-stream", filename=name)
+    return msg
+
+
+def write_smtp(
+    df: DataFrame,
+    dest: "DestSmtp",
+    subject: str,
+    sender: str,
+    recipients: list[str],
+    body: str,
+    file_name: str = "report.csv",
+    transport: Any | None = None,
+) -> DestinationResponse:
+    """Email the query result as a CSV attachment (ref loader.py:26-65).
+
+    The attachment is one collected artifact by definition (an email is a
+    driver-side object); the query itself still ran distributed.
+    ``transport`` duck-types smtplib.SMTP for tests.
+    """
+    tmp = tempfile.mkdtemp(prefix="dbs_smtp_")
+    local = os.path.join(tmp, file_name)
+    try:
+        n = write_table(df, local, fmt="csv", single_file=True)
+        with open(local, "rb") as f:
+            payload = f.read()
+        msg = build_email(subject, sender, recipients, body, {file_name: payload})
+        if transport is not None:
+            transport.send_message(msg)
+        else:  # pragma: no cover - needs a live SMTP peer
+            with smtplib.SMTP(dest.host, dest.port) as smtp:
+                if dest.use_tls:
+                    smtp.starttls()
+                if dest.user:
+                    smtp.login(dest.user, dest.password)
+                smtp.send_message(msg)
+        return DestinationResponse(
+            destination_name=dest.name,
+            status="success",
+            message=f"sent to {len(recipients)} recipients",
+            records_processed=n,
+        )
+    except Exception as exc:
+        return DestinationResponse(destination_name=dest.name, status="failure", message=str(exc))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,124 @@
+"""Source readers: distributed where the data is tabular, driver-side
+transport only at the network edges (matching the reference's single-node
+SFTP behavior, reference ``app/utils/extractor.py:39-50``).
+
+The JDBC reader reproduces the reference's whole-query pushdown model
+(``extractor.py:57-105``): the *plan is the SQL text*, executed by the
+source database; Spark adds partitioned reads on top when a partition
+column is provided.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_bridge_spark.functions.templating import render_sql
+
+if TYPE_CHECKING:
+    from data_bridge_spark.plans.models import SourceFile, SourceSftp, SourceSql
+
+
+def read_file_source(spark: SparkSession, src: "SourceFile", table: str | None = None) -> DataFrame:
+    """Columnar scan of a file source; explicit schema wins over inference
+    (the reference's declared-map idea, extractor.py:122-172)."""
+    path = os.path.join(src.path, table) if table else src.path
+    reader = spark.read
+    if src.schema_ddl:
+        reader = reader.schema(src.schema_ddl)
+    if src.options:
+        reader = reader.options(**src.options)
+    if src.format == "parquet":
+        return reader.parquet(path)
+    if src.format == "csv":
+        return reader.option("header", "true").csv(path)
+    return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    src: "SourceSql",
+    query: str,
+    params: dict[str, Any] | None = None,
+    step_outputs: dict[str, Any] | None = None,
+    custom_schema: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """Parameterized JDBC query scan (ref extractor.py:57-105, bugs fixed).
+
+    The ::key:: template renders to literals (ref grammar, list params
+    expand to IN lists) and the *whole query* pushes to the source DB —
+    the reference's semantics exactly. With ``partition_column``/bounds,
+    Spark splits the read into ``num_partitions`` parallel range scans,
+    the distributed upgrade the reference's single fetchall() lacked.
+    """
+    rendered = render_sql(query, params or {}, step_outputs)
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", src.url)
+        .option("query", rendered)
+    )
+    if src.driver:
+        reader = reader.option("driver", src.driver)
+    if src.user:
+        reader = reader.option("user", src.user).option("password", src.password)
+    if custom_schema:
+        reader = reader.option("customSchema", custom_schema)
+    if partition_column:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read requires lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()
+
+
+def read_sftp_source(
+    spark: SparkSession,
+    src: "SourceSftp",
+    staging_dir: str | None = None,
+    transport: Any | None = None,
+) -> DataFrame:
+    """SFTP fetch → local staging → distributed read.
+
+    The network hop is driver-side (as in the reference,
+    extractor.py:39-50 — the remote host is the bottleneck either way);
+    everything after the staging file is a normal partitioned scan.
+    ``transport`` is injectable for tests; the real one needs a pysftp/
+    paramiko install, gated behind import.
+    """
+    staging_dir = staging_dir or tempfile.mkdtemp(prefix="dbs_sftp_")
+    local = os.path.join(staging_dir, os.path.basename(src.remote_path))
+    if transport is not None:
+        transport.get(src.remote_path, local)
+    else:  # pragma: no cover - needs a live SFTP peer
+        try:
+            import paramiko  # type: ignore
+        except ImportError as exc:
+            raise NotImplementedError(
+                "SFTP transport requires paramiko/pysftp (not in this environment); "
+                "pass `transport=` explicitly"
+            ) from exc
+        client = paramiko.SSHClient()
+        client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
+        client.connect(src.host, port=src.port, username=src.user, password=src.password)
+        sftp = client.open_sftp()
+        try:
+            sftp.get(src.remote_path, local)
+        finally:
+            sftp.close()
+            client.close()
+    if src.format == "parquet":
+        return spark.read.parquet(local)
+    if src.format == "csv":
+        return spark.read.option("header", "true").csv(local)
+    return spark.read.json(local)
