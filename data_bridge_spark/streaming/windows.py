@@ -1,0 +1,129 @@
+"""Structured Streaming operators over the events shape (SURVEY.md §2D).
+
+The reference has no incremental execution — its "stream" is a batch
+pipeline (reference ``app/utils/datastream.py:27-53``). These are the
+additive streaming capabilities: watermarked tumbling/sliding windows,
+session windows, and stateful dedup, each the incremental twin of a batch
+operator in ``operators/events.py`` (same aggregation logic, so the batch
+DuckDB oracle pins the semantics, and the streaming tests assert
+stream==batch on a replayed file source).
+
+At scale these run unchanged against Kafka/files with checkpointing; the
+tests drive them with the file source + a memory sink and
+``processAllAvailable()`` (synchronous, deterministic).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table.
+
+    The parquet stores TIMESTAMP(NANOS) (see catalog._read_events), so the
+    stream reads ts as raw long nanos and rebuilds a microsecond
+    TimestampType — watermarks need an instant-typed column.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file streaming source wants a directory; stage a symlink dir
+    # pointing at the single events.parquet (a real deployment points this
+    # at a landing directory / Kafka topic instead)
+    import os
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="dbs_stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(staging, "events.parquet")
+    )
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(staging)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 10-minute windows with late-data drop — streaming twin of
+    operators/events.win_tumbling."""
+    from data_bridge_spark.functions.exact import dsum
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding windows (10 min / 5 min) — twin of win_sliding."""
+    from data_bridge_spark.functions.exact import dsum
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def stream_session_window(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (30-minute inactivity gap) — the streaming
+    engine maintains open sessions as state; batch twin is win_session."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup on event_id within the watermark horizon — the
+    streaming form of exact dedup (state is bounded by the watermark,
+    which is what makes it viable on an unbounded stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
+    """Drive a streaming plan to completion against an in-memory table and
+    return the result as a batch DataFrame (test/debug harness)."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    spark = stream_df.sparkSession
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def deliver_stream(
+    stream_df: DataFrame,
+    sink_fn,
+    checkpoint_dir: str,
+    mode: str = "update",
+):
+    """foreachBatch delivery into any batch sink (fileshare/SFTP/SMTP
+    writers from sinks/) — exactly-once per micro-batch with
+    checkpointing. Returns the StreamingQuery handle."""
+    return (
+        stream_df.writeStream.outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda batch_df, epoch_id: sink_fn(batch_df, epoch_id))
+        .start()
+    )
