@@ -46,8 +46,10 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("bench")
 
-    # warm the JVM/codegen paths once so timings measure the engine, not startup
-    registry["src_scan"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm the JVM once — codegen, shuffle infra, broadcast machinery —
+    # so timings measure the engine, not first-query initialization
+    for warm in ("src_scan", "agg_group", "join_broadcast"):
+        registry[warm].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

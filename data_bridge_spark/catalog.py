@@ -32,17 +32,29 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Post-scan widening: the test parquet files are single-row-group, so the
+# scan is one task no matter spark.sql.files.maxPartitionBytes — every
+# downstream expression would run on one core. Files in this size band get
+# an explicit repartition to cluster width. On a real deployment (files
+# with many row groups / many files) the scan is already wider than the
+# core count and the widen never fires.
+_WIDEN_MIN_BYTES = 150 * 1024
+_WIDEN_MAX_BYTES = 2 * 1024**3
+
+
 class Tables:
     """Lazy accessor: ``Tables(spark, sf_dir).lineitem`` → DataFrame plan.
 
     Each attribute is a fresh ``spark.read.parquet`` logical plan; no data
     moves until an action. ``view()`` registers temp views for SQL-form
-    operators.
+    operators. Filters/projections still push into the scan below the
+    widen repartition (Catalyst pushes predicates through Repartition).
     """
 
-    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None, widen: bool = True):
         self.spark = spark
         self.sf_dir = sf_dir or default_sf_dir()
+        self.widen = widen and os.environ.get("DBS_NO_WIDEN") != "1"
         self._cache: dict[str, DataFrame] = {}
 
     def table(self, name: str) -> DataFrame:
@@ -54,6 +66,13 @@ class Tables:
                 df = self._read_events(path)
             else:
                 df = self.spark.read.parquet(path)
+            if self.widen:
+                try:
+                    size = os.path.getsize(path)
+                except OSError:
+                    size = 0
+                if _WIDEN_MIN_BYTES <= size <= _WIDEN_MAX_BYTES:
+                    df = df.repartition(self.spark.sparkContext.defaultParallelism)
             self._cache[name] = df
         return self._cache[name]
 
