@@ -64,6 +64,10 @@ def sql_literal(value: Any) -> str:
     if isinstance(value, dt.date):
         return f"DATE '{value.isoformat()}'"
     if isinstance(value, (list, tuple)):
+        if not value:
+            # empty IN-list: `IN (NULL)` matches nothing, which is the
+            # sane semantics for an empty id list (and stays parseable)
+            return "NULL"
         return ", ".join(sql_literal(v) for v in value)
     s = str(value).replace("'", "''")
     return f"'{s}'"

@@ -200,6 +200,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=None,  # iterative fixpoint — not SQL-expressible → rows-only
+    tags=("dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph → keep-one
+    per near-dup cluster (the final stage of MinHash-LSH dedup).
+
+    Iterative min-label propagation: every doc starts as its own label;
+    each round propagates the smaller label across candidate edges until
+    no label changes. Each iteration is two hash joins + a group-by —
+    all shuffle-partitionable; iterations are O(graph diameter), and at
+    100 TB the same loop runs with checkpointing per round (done here via
+    localCheckpoint to cut lineage growth).
+    """
+    sig = Tables(spark, sf_dir).documents.select("doc_id", *_minhash_cols())
+    rows_per_band = _N_HASHES // _BANDS
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias(f"band_{b}")
+            for b in range(_BANDS)
+        ],
+    )
+    # undirected edges from shared band buckets
+    edges = None
+    for b in range(_BANDS):
+        l, r = bands.alias("l"), bands.alias("r")
+        e = (
+            l.join(r, (F.col(f"l.band_{b}") == F.col(f"r.band_{b}")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst"))
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    edges = edges.distinct().localCheckpoint(eager=True)
+    both = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    labels = bands.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(10):  # diameter bound; tiny for LSH clusters
+        neighbor_min = (
+            both.join(labels, both.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("u.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.groupBy("label").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+@register(
     "dedup_embed",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

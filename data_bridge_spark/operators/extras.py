@@ -1,0 +1,348 @@
+"""Second-wave operators: non-equi joins, cube, exact percentiles, range
+frames, unpivot, hashing, UDTF, and the reference's collected-ID-list
+pattern (SURVEY.md §2B13/B16/B17 extensions, §2C8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.functions.exact import dsum
+from data_bridge_spark.registry import register
+
+_TIERS = [
+    ("bronze", 0, 100_000),
+    ("silver", 100_000, 250_000),
+    ("gold", 250_000, 400_000),
+    ("platinum", 400_000, 10_000_000),
+]
+_TIERS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)
+
+
+@register(
+    "join_range",
+    oracle=f"""
+    SELECT o.o_orderkey, t.tier
+    FROM orders o
+    JOIN (VALUES {_TIERS_SQL}) AS t(tier, lo, hi)
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    """,
+    tags=("join", "range"),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (banded range) join: price bands as a tiny literal table,
+    joined on interval containment. Spark plans a broadcast nested-loop
+    join — correct here because one side is a handful of rows; for two
+    large sides, bucketize the range key into an equi-join key first."""
+    t = Tables(spark, sf_dir)
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo long, hi long")
+    o = t.orders
+    return o.join(
+        F.broadcast(tiers),
+        (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi),
+    ).select("o_orderkey", "tier")
+
+
+@register(
+    "filter_step_param",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer
+        WHERE c_acctbal > 8000 AND c_mktsegment = 'MACHINERY'
+    )
+    """,
+    tags=("templating", "filter"),
+)
+def filter_step_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's step:-to-IN-param pattern executed literally
+    (ref extractor.py:107-114 + sample.config.yaml:124-140): a first query
+    is *collected* into a Python list on the driver, then templated into
+    the next query's IN list. Kept for parity — at scale prefer join_semi
+    (same result, no driver round-trip)."""
+    from data_bridge_spark.functions.templating import render_sql
+
+    t = Tables(spark, sf_dir)
+    ids = [
+        r.c_custkey
+        for r in t.customer.filter(
+            (F.col("c_acctbal") > 8000) & (F.col("c_mktsegment") == "MACHINERY")
+        )
+        .select("c_custkey")
+        .collect()
+    ]
+    t.view("orders")
+    sql = render_sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_custkey IN (::ids::)",
+        {"ids": ids},
+    )
+    return spark.sql(sql)
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE with GROUPING() indicators (disambiguates 'null because
+    subtotal' from 'null in the data') — one shuffle for all 4 grouping
+    sets."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "total"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "agg_median",
+    oracle="""
+    SELECT c_mktsegment,
+           MEDIAN(c_acctbal) AS median_bal,
+           quantile_cont(c_acctbal, 0.25) AS p25,
+           quantile_cont(c_acctbal, 0.75) AS p75
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / continuous quantiles per group. Exact percentile is
+    a full sort per group — fine for bounded group counts; the approximate
+    twin (percentile_approx, t-digest) is the unbounded-cardinality path
+    (see agg_percentile_approx)."""
+    t = Tables(spark, sf_dir)
+    return t.customer.groupBy("c_mktsegment").agg(
+        F.median("c_acctbal").alias("median_bal"),
+        F.percentile("c_acctbal", F.lit(0.25)).alias("p25"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("p75"),
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle=None,  # sketch-based; estimates are engine-specific → rows-only
+    tags=("agg", "percentile", "approx"),
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles — the 100 TB path (constant memory,
+    mergeable sketches) for what agg_median does exactly."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_price"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING
+           ) AS n_similar_price
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+    tags=("window", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): for each order, how many of the
+    same customer's orders are within ±10k in price. Same single shuffle
+    as any window on the partition key."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice")).rangeBetween(-10000, 10000)
+    return (
+        t.orders.filter(F.col("o_custkey") <= 100)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("n_similar_price", F.count(F.lit(1)).over(w))
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_price,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over a customer's order history + NTILE buckets."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        t.orders.filter(F.col("o_custkey") <= 100)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("first_price", F.first("o_totalprice").over(w))
+        .withColumn("last_price", F.last("o_totalprice").over(w_full))
+        .withColumn("quartile", F.ntile(4).over(w))
+        .select("o_custkey", "o_orderkey", "first_price", "last_price", "quartile")
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+        FROM lineitem WHERE l_orderkey <= 500
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        FROM lineitem WHERE l_orderkey <= 500
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey <= 500
+    )
+    """,
+    tags=("reshape",),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): one row per (row, measure). `unpivot` is a
+    zero-shuffle projection in Spark."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_orderkey") <= 500)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "value",
+        )
+        .withColumn(
+            "measure",
+            F.when(F.col("measure") == "l_quantity", "quantity")
+            .when(F.col("measure") == "l_extendedprice", "price")
+            .otherwise("discount"),
+        )
+    )
+
+
+@register(
+    "scalar_hash",
+    oracle="""
+    SELECT doc_id,
+           MD5(text) AS h_md5,
+           SHA256(text) AS h_sha256
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("scalar", "hash"),
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash scalars (content addressing / fingerprints).
+    xxhash64 is the faster non-crypto option but Spark-specific, so the
+    oracle pins md5/sha256."""
+    t = Tables(spark, sf_dir)
+    return t.documents.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+    )
+
+
+@register(
+    "text_shingles",
+    oracle="""
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   list_filter(list_zip(words, words[2:], words[3:]),
+                               s -> s[3] IS NOT NULL),
+                   s -> s[1] || ' ' || s[2] || ' ' || s[3])) AS shingle
+        FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS words
+              FROM documents WHERE doc_id < 50)
+    )
+    """,
+    tags=("text", "shingle"),
+)
+def text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word trigram shingling (the unit MinHash consumes): zip the token
+    array against its own 1- and 2-shifted slices — pure array expressions,
+    no explode until the final row conversion."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("words")
+    )
+    w = F.col("words")
+    zipped = F.arrays_zip(
+        w.alias("a"),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))).alias("b"),
+        F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0))).alias("c"),
+    )
+    shingles = F.transform(
+        F.filter(zipped, lambda s: s["c"].isNotNull()),
+        lambda s: F.concat_ws(" ", s["a"], s["b"], s["c"]),
+    )
+    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+@register(
+    "udtf_expand",
+    oracle="""
+    SELECT o_orderkey, part, amount FROM (
+        SELECT o_orderkey, 'net' AS part, o_totalprice * 0.8 AS amount
+        FROM orders WHERE o_orderkey < 200
+        UNION ALL
+        SELECT o_orderkey, 'tax', o_totalprice * 0.2
+        FROM orders WHERE o_orderkey < 200
+    )
+    """,
+    tags=("udtf",),
+)
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row → N output rows with
+    computed columns — the Spark-4 native form of the reference's
+    row-expanding transforms. Arrow-batched like pandas UDFs."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, part string, amount double")
+    class SplitCharges:
+        def eval(self, o_orderkey: int, o_totalprice: float):
+            yield o_orderkey, "net", o_totalprice * 0.8
+            yield o_orderkey, "tax", o_totalprice * 0.2
+
+    t = Tables(spark, sf_dir)
+    t.orders.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey", "o_totalprice"
+    ).createOrReplaceTempView("__udtf_src")
+    spark.udtf.register("split_charges", SplitCharges)
+    return spark.sql(
+        "SELECT s.* FROM __udtf_src, LATERAL split_charges(o_orderkey, o_totalprice) s"
+    )

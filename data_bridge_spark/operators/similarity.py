@@ -86,6 +86,73 @@ _BUCKET_SQL = (
 
 
 @register(
+    "sim_ivf",
+    oracle=None,  # multi-stage ANN with centroid float means → rows-only
+    tags=("similarity", "topk", "ivf"),
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition vectors into coarse cells, search a probe
+    only against its nearest cell's members.
+
+    Cells here are the embedding's label groups with mean-vector
+    centroids (a k-means assignment would drop in identically — the label
+    column gives a deterministic stand-in without an iterative trainer).
+    Plan shape: tiny centroid table (broadcast) → probe-to-cell
+    assignment → equi-join on cell id → local top-k. The expensive
+    probe×all cross join never happens; the equi-join on cell shuffles
+    hash-partitioned, which is what scales.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    dim = 64
+    # centroid per label: elementwise mean, decimal-summed for determinism
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast("decimal(18,10)")).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    centroids = sums.select(
+        "label",
+        F.array(
+            *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(dim)]
+        ).alias("centroid"),
+    )
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    # assign each probe to its nearest centroid (tiny cross: 20 x 10)
+    assigned = (
+        probes.join(F.broadcast(centroids))
+        .select(
+            "probe_id",
+            "p_emb",
+            "label",
+            cosine_similarity(F.col("p_emb"), F.col("centroid")).alias("c_sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy(F.col("c_sim").desc(), F.col("label").asc())
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("probe_id", "p_emb", F.col("label").alias("cell"))
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), F.col("label").alias("cell")
+    )
+    scored = assigned.join(cands, "cell").filter(F.col("probe_id") != F.col("cand_id")).select(
+        "probe_id",
+        "cand_id",
+        cosine_similarity(F.col("p_emb"), F.col("c_emb")).alias("cos_sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@register(
     "sim_topk_lsh",
     oracle=f"""
     WITH sig AS (

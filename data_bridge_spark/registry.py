@@ -46,6 +46,7 @@ _MODULES = (
     "data_bridge_spark.operators.text",
     "data_bridge_spark.operators.events",
     "data_bridge_spark.operators.multimodal",
+    "data_bridge_spark.operators.extras",
 )
 
 
