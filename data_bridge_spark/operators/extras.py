@@ -314,6 +314,66 @@ def text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_csv",
+    oracle=None,  # round-trips through csv text; checked rows-only + in tests
+    tags=("sink",),
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV serialization sink (reference transformutils.py:7-13
+    df.to_csv → buffer): write a query result as a single CSV artifact via
+    the distributed writer + coalesce(1), read it back. The returned rows
+    prove the round trip; DestinationResponse receipts are covered by the
+    pipeline e2e tests."""
+    import tempfile
+
+    from data_bridge_spark.sinks.writers import write_table
+
+    t = Tables(spark, sf_dir)
+    out = t.nation.join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    path = tempfile.mkdtemp(prefix="dbs_sink_csv_") + "/nations.csv"
+    write_table(out, path, fmt="csv", single_file=True)
+    return spark.read.option("header", "true").csv(path)
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part a
+    WHERE p_partkey < 2000 AND NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_partkey < 2000
+          AND b.p_size <= a.p_size AND b.p_retailprice <= a.p_retailprice
+          AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice)
+    )
+    """,
+    tags=("skyline",),
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-optimal) query — minimize (p_size, p_retailprice):
+    keep parts no other part dominates (per the skyline-in-Spark-SQL line
+    of work in PAPERS.md). Expressed as a dominance anti-join; the
+    block-nested-loop is bounded here, and at scale the standard trick is
+    a grid/angular pre-partition so dominance checks stay partition-local."""
+    t = Tables(spark, sf_dir)
+    pts = t.part.filter(F.col("p_partkey") < 2000).select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dominated = (
+        (F.col("b.p_size") <= F.col("a.p_size"))
+        & (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+        & (
+            (F.col("b.p_size") < F.col("a.p_size"))
+            | (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
+        )
+    )
+    return a.join(b, dominated, "left_anti").select("p_partkey", "p_size", "p_retailprice")
+
+
+@register(
     "udtf_expand",
     oracle="""
     SELECT o_orderkey, part, amount FROM (

@@ -62,6 +62,43 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_frame_sample",
+    oracle=None,  # chunked binary expansion via pandas batches → rows-only
+    tags=("multimodal", "udf"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: one binary blob →
+    N fixed-stride 'frames' (here: 64-byte chunks standing in for decoded
+    frames), emitted as (doc_id, frame_idx, frame_bytes, frame_md5) rows
+    via mapInPandas. A real video path swaps the chunker for a codec; the
+    schema, batching, and fan-out shape are what matter at scale."""
+    import hashlib
+
+    t = Tables(spark, sf_dir)
+    src = t.documents.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stride, width = 64, 64
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, off in enumerate(range(0, len(payload), stride)):
+                    chunk = payload[off : off + width]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx integer, n_bytes integer, frame_md5 string",
+    )
+
+
+@register(
     "mm_features",
     oracle=None,  # pandas-side feature extraction → rows-only check
     tags=("multimodal", "udf"),

@@ -135,6 +135,30 @@ def text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                AS INTEGER) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-style pre-tokenizer regex (letter
+    runs | digit runs | single symbols) vs plain whitespace counting —
+    the cheap token-budget estimator for training-data accounting."""
+    t = Tables(spark, sf_dir)
+    pattern = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return t.documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pattern), F.lit(0))).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -30,7 +30,6 @@ from data_bridge_spark.plans.models import (
     Stream,
     TransformStep,
 )
-from data_bridge_spark.sinks.writers import write_fileshare, write_sftp, write_smtp
 from data_bridge_spark.sources.readers import read_file_source, read_jdbc, read_sftp_source
 
 logger = logging.getLogger("data_bridge_spark.runner")
@@ -124,6 +123,11 @@ class StreamRunner:
         return out
 
     def _run_load(self, step: LoadStep) -> DestinationResponse:
+        # imported here, not at module top: sinks.writers imports
+        # plans.models, so a top-level import would close a cycle through
+        # the plans package __init__
+        from data_bridge_spark.sinks.writers import write_fileshare, write_sftp, write_smtp
+
         dest = self.stream.destination(step.destination)
         df = self.step_outputs[step.input]
         transport = self.transports.get(dest.name)
