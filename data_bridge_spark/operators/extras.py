@@ -313,6 +313,65 @@ def text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
+_SALT_BUCKETS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, n.n_name AS supp_nation
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE l.l_quantity >= 45
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: salt the (potentially hot-keyed) fact side
+    into N sub-keys and replicate the dimension side N×, so one hot key
+    spreads over N shuffle partitions instead of one straggler task. The
+    oracle proves result-equality with the plain join — salting is a
+    physical rewrite, not a semantic one. (AQE's skew-join handles
+    sort-merge skew automatically; explicit salting is the portable form
+    that also covers aggregations.)"""
+    t = Tables(spark, sf_dir)
+    li = (
+        t.lineitem.filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+        .withColumn("salt", (F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_BUCKETS))).cast("int"))
+    )
+    salts = spark.range(_SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))
+    supp = (
+        t.supplier.join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .crossJoin(salts)  # replicate dim rows once per salt bucket
+    )
+    return li.join(
+        supp, (li.l_suppkey == supp.s_suppkey) & (li.salt == supp.salt)
+    ).select("l_orderkey", "l_linenumber", "supp_nation")
+
+
+@register(
+    "sink_partitioned",
+    oracle=None,  # writes a partitioned dataset and reads it back → rows-only
+    tags=("sink", "partitioning"),
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write (partitionBy) + partition-
+    pruned read-back: the layout that makes 100 TB scans selective — a
+    filter on the partition column prunes directories before any I/O."""
+    import tempfile
+
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="dbs_part_") + "/orders_by_status"
+    t.orders.select("o_orderkey", "o_totalprice", "o_orderstatus").write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(out)
+    # read back only one partition — the scan lists a single directory
+    return spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+
+
 @register(
     "sink_csv",
     oracle=None,  # round-trips through csv text; checked rows-only + in tests

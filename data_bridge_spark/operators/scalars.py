@@ -248,6 +248,43 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf_grouped_pandas",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS INTEGER) AS price_rank
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+    tags=("udf", "grouped"),
+)
+def udf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): whole group in, whole group
+    out — the distributed form of the reference's per-table pandas
+    TransformFunc (models.py:225-230). The group computation here (a
+    deterministic in-group rank) is chosen to be oracle-checkable; any
+    pandas logic slots into the same shape. One shuffle on the group key,
+    Arrow batches across the Python boundary."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["price_rank"] = (pdf.index + 1).astype("int32")
+        return pdf[["o_custkey", "o_orderkey", "price_rank"]]
+
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_custkey") <= 100)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(rank_group, schema="o_custkey long, o_orderkey long, price_rank int")
+    )
+
+
+@register(
     "sim_cosine_pair",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
