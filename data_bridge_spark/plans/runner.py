@@ -47,11 +47,50 @@ class StreamRunner:
         spark: SparkSession,
         stream: Stream,
         transports: dict[str, Any] | None = None,
+        auto_cache: bool = True,
     ):
         self.spark = spark
         self.stream = stream
         self.transports = transports or {}
         self.step_outputs: dict[str, Any] = {}
+        self.auto_cache = auto_cache
+        self._fanout = self._consumer_counts() if auto_cache else {}
+        self.cached: list[str] = []
+
+    def _consumer_counts(self) -> dict[str, int]:
+        """How many steps consume each named output. Outputs read by more
+        than one downstream step get .cache()d — the fan-out pattern the
+        reference re-materializes implicitly (its example_stream reads
+        raw_grades_data_df from three transforms, sample.config.yaml:98-122);
+        lazily that would re-run the upstream plan per consumer."""
+        counts: dict[str, int] = {}
+        for step in self.stream.steps:
+            refs: list[str] = []
+            if step.step_type == "extract":
+                refs = [
+                    v[5:]
+                    for v in step.params.values()
+                    if isinstance(v, str) and v.startswith("step:")
+                ]
+            elif step.step_type == "transform":
+                refs = list(step.input)
+            elif step.step_type == "collect":
+                refs = [step.input]
+            else:
+                refs = [step.input] + [r[5:] for r in step.recipients if r.startswith("step:")]
+            for r in refs:
+                counts[r] = counts.get(r, 0) + 1
+        return counts
+
+    def _store(self, name: str, value: Any) -> None:
+        if (
+            self.auto_cache
+            and isinstance(value, DataFrame)
+            and self._fanout.get(name, 0) > 1
+        ):
+            value = value.cache()
+            self.cached.append(name)
+        self.step_outputs[name] = value
 
     # ------------------------------------------------------------- steps
 
@@ -86,7 +125,7 @@ class StreamRunner:
             )
         else:
             raise NotImplementedError(f"source protocol {src.protocol!r} is a stub")
-        self.step_outputs[step.output] = df
+        self._store(step.output, df)
 
     def _run_transform(self, step: TransformStep) -> None:
         inputs = {name: self.step_outputs[name] for name in step.input}
@@ -99,7 +138,7 @@ class StreamRunner:
         if missing:
             raise ValueError(f"transform {step.name!r} did not produce outputs {missing}")
         for name in step.output:
-            self.step_outputs[name] = result[name]
+            self._store(name, result[name])
 
     def _run_collect(self, step: CollectStep) -> None:
         df = self.step_outputs[step.input]
@@ -108,7 +147,7 @@ class StreamRunner:
         col = step.column or df.columns[0]
         rows = df.select(col).collect()
         values = [r[0] for r in rows]
-        self.step_outputs[step.output] = values[0] if step.mode == "scalar" else values
+        self._store(step.output, values[0] if step.mode == "scalar" else values)
 
     def _resolve_recipients(self, recipients: list[str]) -> list[str]:
         """Literal emails + ``step:<name>`` list expansion

@@ -1,0 +1,83 @@
+"""Real JDBC end-to-end: embedded Derby (bundled with Spark) stands in for
+the reference's Progress OpenEdge source (reference extractor.py:57-105).
+
+Exercises the whole A1/A5-A7 path: ::key:: templating (scalar + IN-list +
+step: reference), whole-query pushdown, and customSchema typing — against
+a live database, not a mock.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_bridge_spark.plans.models import SourceSql
+from data_bridge_spark.sources.readers import read_jdbc
+
+DB_URL = "jdbc:derby:memory:dbs_test;create=true"
+DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby(spark):
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(DB_URL)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE students (id INT, name VARCHAR(30), grade DOUBLE, campus INT)"
+    )
+    rows = [
+        (1, "ada", 95.5, 10),
+        (2, "bob", 72.0, 10),
+        (3, "cyd", 88.25, 20),
+        (4, "dee", 60.0, 20),
+        (5, "eli", 91.0, 10),
+    ]
+    ps = conn.prepareStatement("INSERT INTO students VALUES (?, ?, ?, ?)")
+    for i, n, g, c in rows:
+        ps.setInt(1, i)
+        ps.setString(2, n)
+        ps.setDouble(3, g)
+        ps.setInt(4, c)
+        ps.executeUpdate()
+    st.close()
+    yield SourceSql(name="derby", url=DB_URL)
+
+
+def test_jdbc_whole_query_pushdown(spark, derby):
+    df = read_jdbc(spark, derby, "SELECT id, name, grade FROM students WHERE campus = 10")
+    rows = {(r.ID, r.NAME, r.GRADE) for r in df.collect()}
+    assert rows == {(1, "ada", 95.5), (2, "bob", 72.0), (5, "eli", 91.0)}
+
+
+def test_jdbc_templated_params(spark, derby):
+    df = read_jdbc(
+        spark,
+        derby,
+        "SELECT id, grade FROM students WHERE campus = ::campus:: AND id IN (::ids::)",
+        params={"campus": 10, "ids": [1, 2, 3]},
+    )
+    assert {(r.ID, r.GRADE) for r in df.collect()} == {(1, 95.5), (2, 72.0)}
+
+
+def test_jdbc_step_reference_param(spark, derby):
+    # the reference's step:-output-to-IN-param flow (extractor.py:107-114)
+    df = read_jdbc(
+        spark,
+        derby,
+        "SELECT name FROM students WHERE id IN (::ids::)",
+        params={"ids": "step:top_ids"},
+        step_outputs={"top_ids": [3, 5]},
+    )
+    assert {r.NAME for r in df.collect()} == {"cyd", "eli"}
+
+
+def test_jdbc_custom_schema(spark, derby):
+    # the declared-map typing (A9): force grade to decimal(6,2)
+    df = read_jdbc(
+        spark,
+        derby,
+        "SELECT id, grade FROM students",
+        custom_schema="ID INT, GRADE DECIMAL(6,2)",
+    )
+    assert dict(df.dtypes)["GRADE"] == "decimal(6,2)"
+    assert df.count() == 5

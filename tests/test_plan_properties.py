@@ -1,0 +1,108 @@
+"""Physical-plan property assertions: the scale behaviors SURVEY §4 claims
+must be visible in the executed plans, not just asserted in prose."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from data_bridge_spark.registry import load_all
+
+REG = load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = REG["filter_eq"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    df = REG["proj_select"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the three projected columns are read, not all five
+    assert "c_custkey" in read_schema and "c_acctbal" not in read_schema
+
+
+def test_dimension_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(REG["join_broadcast"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    semi = plan_of(REG["join_semi"].fn(spark, sf_dir))
+    anti = plan_of(REG["join_anti"].fn(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    # orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    # top-k + merge), not a global sort
+    plan = plan_of(REG["sort_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    # map-side combine: two HashAggregate nodes around the exchange
+    plan = plan_of(REG["agg_report"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE wraps the plan, hiding codegen nodes from toString; disable it
+    # for this one plan to confirm our expressions stay inside
+    # WholeStageCodegen spans (i.e. no Python/UDF break in the hot path)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = REG["agg_report"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # codegen spans print as "*(n) Operator" in plan strings
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
+    # and the aggregation is two-phase (map-side partial combine)
+    assert "partial_sum" in plan
+
+
+def test_runner_auto_caches_fanout(spark, sf_dir):
+    from data_bridge_spark.plans.models import ExtractStep, Stream, TransformStep
+    from data_bridge_spark.plans.runner import StreamRunner
+
+    stream = Stream(
+        name="fan",
+        sources=[{"protocol": "file", "name": "w", "path": sf_dir}],
+        steps=[
+            ExtractStep(name="e", source="w", table="orders.parquet", output="orders"),
+            TransformStep(
+                name="t1",
+                input=["orders"],
+                output=["a"],
+                function=lambda i: {"a": i["orders"].filter(F.col("o_totalprice") > 100000)},
+            ),
+            TransformStep(
+                name="t2",
+                input=["orders"],
+                output=["b"],
+                function=lambda i: {"b": i["orders"].filter(F.col("o_totalprice") <= 100000)},
+            ),
+        ],
+    )
+    runner = StreamRunner(spark, stream)
+    runner.run()
+    assert runner.cached == ["orders"]
+    assert runner.step_outputs["orders"].is_cached
+    runner.step_outputs["orders"].unpersist()
+
+    # and with auto_cache off, nothing is cached
+    runner2 = StreamRunner(spark, stream, auto_cache=False)
+    runner2.run()
+    assert runner2.cached == []
