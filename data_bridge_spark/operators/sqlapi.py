@@ -1,0 +1,173 @@
+"""SQL-API operators: the same Catalyst plans reached through spark.sql
+(CTEs, correlated subqueries) — parity surface for users who write SQL
+against the engine instead of DataFrames, plus NULL/timezone semantics
+and corpus-level text aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.registry import register
+
+_CTE_SQL = """
+    WITH customer_totals AS (
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    segment_stats AS (
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(t.total_spent AS DECIMAL(18,6))) AS DOUBLE) AS segment_revenue
+        FROM customer c
+        JOIN customer_totals t ON c.c_custkey = t.o_custkey
+        GROUP BY c.c_mktsegment
+    )
+    SELECT * FROM segment_stats
+"""
+
+
+@register(
+    "sql_cte",
+    oracle=_CTE_SQL,
+    tags=("sql",),
+)
+def sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE query through the SQL front end — identical text runs on
+    Spark and the oracle; Catalyst plans it exactly like the DataFrame
+    form (one shuffle per aggregation, join in between)."""
+    Tables(spark, sf_dir).view("orders", "customer")
+    return spark.sql(_CTE_SQL)
+
+
+@register(
+    "sql_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT 2 * AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (no per-row re-execution), the rewrite that makes
+    this shape viable at scale. AVG compares (not returns), so float
+    averaging is safe here."""
+    Tables(spark, sf_dir).view("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+            SELECT 2 * AVG(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "text_top_terms",
+    oracle="""
+    SELECT token, n FROM (
+        SELECT token, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
+        FROM (SELECT unnest(string_split(LOWER(text), ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+    ) WHERE rk <= 20
+    """,
+    tags=("text", "topk"),
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term frequency top-k: explode → count → top-20 with a
+    total tiebreak. The shape of vocabulary building: partial counts
+    map-side, one shuffle on token, TakeOrdered for the k."""
+    t = Tables(spark, sf_dir)
+    tokens = t.documents.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+        .select("token", "n")
+    )
+
+
+@register(
+    "sort_global",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    ORDER BY s_acctbal DESC, s_suppkey ASC
+    """,
+    tags=("sort",),
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total global sort (no limit): Spark range-partitions by sample,
+    sorts partitions independently — the scalable total order. (The
+    oracle comparison is order-insensitive; the ORDER BY documents
+    intent and exercises RangePartitioning.)"""
+    t = Tables(spark, sf_dir)
+    return t.supplier.select("s_suppkey", "s_name", "s_acctbal").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+
+
+@register(
+    "scalar_null",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price_or_null,
+           CAST(o_orderstatus = 'P' AS INTEGER) AS is_pending,
+           IFNULL(CASE WHEN o_totalprice > 300000 THEN o_totalprice END, 0.0) AS big_price
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("scalar", "null"),
+)
+def scalar_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics scalars: NULLIF/COALESCE/IFNULL and NULL-producing
+    CASE — three-valued logic handled identically to the oracle."""
+    t = Tables(spark, sf_dir)
+    status = F.col("o_orderstatus")
+    price = F.col("o_totalprice")
+    return t.orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.coalesce(F.nullif(status, F.lit("P")), F.lit("PENDING")).alias("status_norm"),
+        F.when(status != "P", price).alias("price_or_null"),
+        (status == "P").cast("integer").alias("is_pending"),
+        F.ifnull(F.when(price > 300000, price), F.lit(0.0)).alias("big_price"),
+    )
+
+
+@register(
+    "scalar_tz",
+    oracle=None,  # tz database application differs across engines → rows-only
+    tags=("scalar", "timezone"),
+)
+def scalar_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversions for the reference's timestamp_timezone type
+    (ref extractor.py:201 pins America/Chicago): NTZ event times
+    interpreted as UTC instants, rendered in Chicago local time, with the
+    UTC offset derived per-row (CST/CDT across DST)."""
+    t = Tables(spark, sf_dir)
+    ts = F.col("ts")
+    chicago = F.convert_timezone(F.lit("UTC"), F.lit("America/Chicago"), ts)
+    return t.events.filter(F.col("event_id") < 500).select(
+        "event_id",
+        ts.alias("ts_utc"),
+        chicago.alias("ts_chicago"),
+        ((F.unix_micros(chicago.cast("timestamp")) - F.unix_micros(ts.cast("timestamp"))) / 3600_000_000)
+        .cast("int")
+        .alias("utc_offset_hours"),
+    )

@@ -47,6 +47,7 @@ _MODULES = (
     "data_bridge_spark.operators.events",
     "data_bridge_spark.operators.multimodal",
     "data_bridge_spark.operators.extras",
+    "data_bridge_spark.operators.sqlapi",
 )
 
 

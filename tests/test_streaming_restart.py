@@ -1,0 +1,84 @@
+"""Checkpoint-restart: streaming state must survive a query restart.
+
+Run 1 processes the first half of events and stops. Run 2 starts from the
+same checkpoint after the second half lands — it must read ONLY the new
+file (offset log) and its emitted totals must include run-1 state
+(state store recovery)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from data_bridge_spark.streaming.stateful import stream_user_totals
+from data_bridge_spark.streaming.windows import EVENTS_SCHEMA
+
+
+def _write_half(spark, sf_dir, flat, which):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half = events.filter((F.col("event_id") % 2 == 0) == (which == 0))
+    tmp = flat + f"_stage{which}"
+    half.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.makedirs(flat, exist_ok=True)
+    shutil.move(os.path.join(tmp, part), os.path.join(flat, f"half{which}.parquet"))
+
+
+def _run_once(spark, flat, ckpt, name):
+    # memory sink can't recover from a checkpoint; foreachBatch can
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(flat)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    emitted: list = []
+
+    def sink(batch_df, epoch_id):
+        emitted.extend(batch_df.collect())
+
+    q = (
+        stream_user_totals(events)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return emitted
+
+
+def test_state_survives_restart(spark, sf_dir, tmp_path):
+    flat = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_half(spark, sf_dir, flat, 0)
+    run1 = _run_once(spark, flat, ckpt, "totals_run1")
+    assert len(run1) > 0
+
+    _write_half(spark, sf_dir, flat, 1)
+    run2 = _run_once(spark, flat, ckpt, "totals_run2")
+
+    # run 2 only emits users present in the NEW file (offsets recovered,
+    # old file not reprocessed)...
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    half1_users = {
+        r.user_id
+        for r in spark.read.parquet(os.path.join(flat, "half1.parquet"))
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert {r.user_id for r in run2} == half1_users
+
+    # ...but its totals include run-1 state: final counts equal full truth
+    truth = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in run2:
+        assert r.n_events == truth[r.user_id], f"user {r.user_id} lost state on restart"
