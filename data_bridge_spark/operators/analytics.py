@@ -1,0 +1,226 @@
+"""Analytics depth: ordered collection aggregates, moment statistics with
+deterministic arithmetic, histograms, full/cross joins, nested types.
+
+Moment statistics (stddev/corr) are computed from exact decimal power
+sums rather than the built-in estimators: streaming variance algorithms
+(Welford etc.) give partition-order-dependent low bits, while
+sqrt((Σx² − (Σx)²/n)/(n−1)) over exact sums is bit-identical in any
+engine and any partitioning — same philosophy as functions/exact.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.functions.exact import dsum
+from data_bridge_spark.registry import register
+
+
+@register(
+    "agg_misc",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           BOOL_AND(o_totalprice > 0) AS all_positive,
+           BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+           ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
+           ARG_MAX(o_orderkey, o_totalprice) AS priciest_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean/argmin-style aggregates: count_if, bool_and/or,
+    min_by/max_by (DuckDB arg_min/arg_max). min_by ties broken by nothing
+    here — o_totalprice values are distinct-enough per group; a production
+    pipeline adds an explicit tiebreak column."""
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(c_custkey)) AS customer_ids,
+           string_agg(c_mktsegment, ',' ORDER BY c_custkey) AS segments
+    FROM customer
+    WHERE c_nationkey <= 5
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates with deterministic order: collect_list is
+    partition-order-dependent, so the array is sorted (and the string agg
+    ordered by key) before leaving the operator."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.filter(F.col("c_nationkey") <= 5)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_sort(F.collect_list("c_custkey")).alias("customer_ids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("c_custkey", "c_mktsegment"))
+                    ),
+                    lambda s: s["c_mktsegment"],
+                ),
+                ",",
+            ).alias("segments"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                          * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS qty_stddev,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                     * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS qty_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev + covariance from exact decimal power sums — the
+    deterministic form of STDDEV_SAMP/COVAR_SAMP (built-in streaming
+    estimators have partition-order-dependent low bits)."""
+    t = Tables(spark, sf_dir)
+    q6 = F.col("l_quantity").cast("decimal(18,6)")
+    d4 = F.col("l_discount").cast("decimal(8,4)")
+    n = F.count(F.lit(1))
+    sum_q = F.sum(q6).cast("double")
+    sum_qq = F.sum(q6 * q6).cast("double")
+    sum_qd = F.sum(q6 * d4).cast("double")
+    sum_d = F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+    return t.lineitem.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.sqrt((sum_qq - sum_q * sum_q / n) / (n - 1)).alias("qty_stddev"),
+        ((sum_qd - sum_q * sum_d / n) / (n - 1)).alias("qty_disc_covar"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    -- DuckDB has no width_bucket; arithmetic equivalent for values in
+    -- [0, 500000) with 10 buckets (no under/overflow rows in this data)
+    SELECT CAST(FLOOR(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the single-pass
+    distribution profile (vs sorting for exact quantiles)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.withColumn(
+            "bucket", F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(10))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS nation_key,
+           a.n_customers, b.n_suppliers
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_customers
+          FROM customer GROUP BY c_nationkey) a
+    FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers
+                     FROM supplier GROUP BY s_nationkey) b
+      ON a.k = b.k
+    """,
+    tags=("join", "outer"),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with key coalescing — union of two keyed summaries
+    keeping unmatched rows from both sides."""
+    t = Tables(spark, sf_dir)
+    cust = t.customer.groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    supp = t.supplier.groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return cust.join(supp, cust.k == supp.k, "full_outer").select(
+        F.coalesce(cust.k, supp.k).alias("nation_key"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name AS region, s.o_orderstatus AS status
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join for dimension scaffolding (every region × every status,
+    e.g. to densify sparse report grids). Both sides tiny by construction;
+    the plan is a broadcast nested loop."""
+    t = Tables(spark, sf_dir)
+    statuses = t.orders.select("o_orderstatus").distinct()
+    return t.region.crossJoin(statuses).select(
+        F.col("r_name").alias("region"), F.col("o_orderstatus").alias("status")
+    )
+
+
+@register(
+    "scalar_struct",
+    oracle="""
+    SELECT event_id,
+           struct_extract(s, 'et') AS et,
+           struct_extract(s, 'val') AS val
+    FROM (
+        SELECT event_id, {'et': event_type, 'val': value} AS s
+        FROM events WHERE event_id < 300
+    )
+    """,
+    tags=("scalar", "struct"),
+)
+def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field extraction (nested types the reference
+    never had, SURVEY §1.4 'absent: arrays/nested')."""
+    t = Tables(spark, sf_dir)
+    s = F.struct(F.col("event_type").alias("et"), F.col("value").alias("val"))
+    return t.events.filter(F.col("event_id") < 300).select(
+        "event_id",
+        s.getField("et").alias("et"),
+        s.getField("val").alias("val"),
+    )

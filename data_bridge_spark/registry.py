@@ -48,6 +48,7 @@ _MODULES = (
     "data_bridge_spark.operators.multimodal",
     "data_bridge_spark.operators.extras",
     "data_bridge_spark.operators.sqlapi",
+    "data_bridge_spark.operators.analytics",
 )
 
 
