@@ -144,6 +144,49 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_merge_pandas",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_ts
+    FROM events
+    WHERE user_id <= 50
+    """,
+    tags=("events", "asof", "udf"),
+)
+def asof_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via per-group pandas merge_asof (the guide's other
+    canonical formulation) — same semantics as asof_last_purchase's
+    window form, and the shared oracle proves the two implementations
+    agree. Use this shape when the as-of logic outgrows window functions
+    (tolerance bounds, nearest-direction, multi-column asof)."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") <= 50).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+
+    def asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by (ts, event_id) — the strictly-before scan below is then
+        # exactly merge_asof(direction="backward", allow_exact_matches=False)
+        # with a deterministic tiebreak on event_id
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        is_purchase = (pdf["event_type"] == "purchase").to_numpy()
+        ts = pdf["ts"].to_numpy()
+        prev = pd.Series(ts).where(pd.Series(is_purchase)).ffill().shift(1)
+        pdf["prev_purchase_ts"] = prev
+        return pdf[["event_id", "user_id", "ts", "event_type", "prev_purchase_ts"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        asof,
+        schema="event_id long, user_id long, ts timestamp_ntz, event_type string, "
+        "prev_purchase_ts timestamp_ntz",
+    )
+
+
+@register(
     "events_pivot",
     oracle="""
     SELECT user_id,
