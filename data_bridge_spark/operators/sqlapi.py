@@ -76,6 +76,71 @@ def sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_stream_query",
+    oracle="""
+    WITH stats AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(o_totalprice) AS avg_price
+        FROM orders GROUP BY o_custkey
+    ),
+    segments AS (
+        SELECT c.c_custkey, c.c_name, s.avg_price
+        FROM customer c JOIN stats s ON c.c_custkey = s.o_custkey
+        WHERE s.avg_price > 150000 OR s.avg_price < 100000
+    )
+    SELECT c_custkey, c_name,
+           'cust' || CAST(c_custkey AS VARCHAR) || '@example.com' AS email
+    FROM segments
+    WHERE c_custkey % 10 <> 0
+    """,
+    tags=("pipeline", "integration"),
+)
+def pipeline_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's example_stream as ONE lazy plan through the
+    pipeline runtime (plans/runner.py): extract → segment on a per-key
+    aggregate → union of branches → suppression filter → email synthesis.
+    Because the runner keeps every step lazy, Catalyst fuses all steps;
+    the oracle pins the whole pipeline's semantics end-to-end."""
+    from data_bridge_spark.functions.exact import davg
+    from data_bridge_spark.plans.models import ExtractStep, Stream, TransformStep
+    from data_bridge_spark.plans.runner import StreamRunner
+
+    def segment(inputs):
+        orders, customers = inputs["orders"], inputs["customers"]
+        stats = orders.groupBy("o_custkey").agg(davg("o_totalprice", "avg_price"))
+        joined = customers.join(stats, customers.c_custkey == stats.o_custkey)
+        both = joined.filter((F.col("avg_price") > 150000) | (F.col("avg_price") < 100000))
+        return {"segments": both.select("c_custkey", "c_name", "avg_price")}
+
+    def mailing(inputs):
+        kept = inputs["segments"].filter(F.col("c_custkey") % 10 != 0)
+        return {
+            "mailing_list": kept.select(
+                "c_custkey",
+                "c_name",
+                F.concat(F.lit("cust"), F.col("c_custkey").cast("string"), F.lit("@example.com")).alias(
+                    "email"
+                ),
+            )
+        }
+
+    stream = Stream(
+        name="example_stream_query",
+        sources=[{"protocol": "file", "name": "wh", "path": sf_dir}],
+        steps=[
+            ExtractStep(name="e1", source="wh", table="orders.parquet", output="orders"),
+            ExtractStep(name="e2", source="wh", table="customer.parquet", output="customers"),
+            TransformStep(name="seg", input=["orders", "customers"], output=["segments"], function=segment),
+            TransformStep(name="mail", input=["segments"], output=["mailing_list"], function=mailing),
+        ],
+    )
+    runner = StreamRunner(spark, stream)
+    runner.run()
+    return runner.step_outputs["mailing_list"]
+
+
+@register(
     "text_top_terms",
     oracle="""
     SELECT token, n FROM (
