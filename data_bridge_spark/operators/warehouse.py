@@ -1,0 +1,120 @@
+"""Warehouse-maintenance operators: SCD2 merge emulation.
+
+Spark without a table format (Delta/Iceberg, not in this environment) has
+no MERGE INTO; the classic emulation is anti-join + union with validity
+interval bookkeeping — expressed here as one deterministic lazy plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.registry import register
+
+_AS_OF = "2024-06-01"
+_OPEN_END = "9999-12-31"
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    compare_cols: list[str],
+    as_of: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge.
+
+    ``current`` rows carry (valid_from, valid_to); ``updates`` is the new
+    snapshot for some keys. Result:
+    - rows whose key is not updated, or whose attributes are unchanged →
+      kept as-is;
+    - changed keys → the old row closed out (valid_to = as_of) PLUS a new
+      open row (valid_from = as_of, valid_to = open-end);
+    - brand-new keys → inserted open.
+    Three hash-partitionable joins + a union — no MERGE primitive needed.
+    """
+    changed_cond = " OR ".join(f"(u.{c} IS DISTINCT FROM c.{c})" for c in compare_cols)
+    c, u = current.alias("c"), updates.alias("u")
+    joined = c.join(u, F.col(f"c.{key}") == F.col(f"u.{key}"), "left")
+
+    unchanged = joined.filter(
+        F.col(f"u.{key}").isNull() | ~F.expr(changed_cond)
+    ).select("c.*")
+
+    closed = joined.filter(F.col(f"u.{key}").isNotNull() & F.expr(changed_cond)).select(
+        *[F.col(f"c.{col}") for col in current.columns if col != "valid_to"],
+        F.lit(as_of).cast("date").alias("valid_to"),
+    )
+
+    new_versions = (
+        u.join(c, F.col(f"c.{key}") == F.col(f"u.{key}"), "left")
+        .filter(F.col(f"c.{key}").isNull() | F.expr(changed_cond))
+        .select(
+            "u.*",
+            F.lit(as_of).cast("date").alias("valid_from"),
+            F.lit(_OPEN_END).cast("date").alias("valid_to"),
+        )
+    )
+    return unchanged.unionByName(closed).unionByName(new_versions)
+
+
+@register(
+    "scd2_merge",
+    oracle=f"""
+    WITH current AS (
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+               DATE '2020-01-01' AS valid_from, DATE '{_OPEN_END}' AS valid_to
+        FROM customer
+    ),
+    updates AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 'MACHINERY'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               ROUND(c_acctbal + 100.0, 2) AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    changed AS (
+        SELECT u.* FROM updates u JOIN current c USING (c_custkey)
+        WHERE u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+           OR u.c_acctbal IS DISTINCT FROM c.c_acctbal
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+           c.valid_from, c.valid_to
+    FROM current c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+           c.valid_from, DATE '{_AS_OF}' AS valid_to
+    FROM current c WHERE c.c_custkey IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT ch.c_custkey, ch.c_name, ch.c_mktsegment, ch.c_acctbal,
+           DATE '{_AS_OF}' AS valid_from, DATE '{_OPEN_END}' AS valid_to
+    FROM changed ch
+    """,
+    tags=("warehouse", "scd2"),
+)
+def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge: customers get a synthetic update snapshot (every 7th
+    key changes segment + balance); the merge closes old versions and
+    opens new ones. Oracle replays the same logic in SQL."""
+    t = Tables(spark, sf_dir)
+    current = t.customer.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(_OPEN_END).cast("date").alias("valid_to"),
+    )
+    updates = t.customer.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_mktsegment") == "BUILDING", "MACHINERY")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+    )
+    return scd2_apply(
+        current, updates, "c_custkey", ["c_mktsegment", "c_acctbal"], _AS_OF
+    )

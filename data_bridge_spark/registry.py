@@ -49,6 +49,7 @@ _MODULES = (
     "data_bridge_spark.operators.extras",
     "data_bridge_spark.operators.sqlapi",
     "data_bridge_spark.operators.analytics",
+    "data_bridge_spark.operators.warehouse",
 )
 
 

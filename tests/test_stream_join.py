@@ -1,0 +1,25 @@
+"""Stream-stream join must agree with the identical batch join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_bridge_spark.streaming.joins import stream_click_to_purchase
+from data_bridge_spark.streaming.windows import read_events_stream, run_to_memory
+
+
+def _batch_events(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    streamed = run_to_memory(
+        stream_click_to_purchase(read_events_stream(spark, sf_dir))
+    )
+    batch = stream_click_to_purchase(_batch_events(spark, sf_dir))
+    s = {(r.purchase_id, r.click_id) for r in streamed.collect()}
+    b = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert s == b
+    assert len(s) > 0
