@@ -1,0 +1,227 @@
+"""Training-data preparation operators (the 100 TB pipeline's last mile):
+deterministic splits, reproducible shuffling, source mixing, sequence
+packing, stratified sampling, and data-quality gating.
+
+Determinism doctrine: anything that must be reproducible across re-runs
+and engines derives from content hashes (md5 of key+seed), never from RNG
+state — a retried task or a different partitioning yields the same rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.registry import register
+
+_SEED = "split-v1"
+
+
+def _hash_pct(col: F.Column, seed: str) -> F.Column:
+    """Stable 0-99 assignment from a content hash (first 8 hex chars)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), col.cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+@register(
+    "split_train_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(MD5('{_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("mlprep", "split"),
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 split by content hash: the assignment is a pure
+    function of (seed, key) — stable across engines, re-runs, partitions,
+    and incremental additions (new docs don't reshuffle old ones, unlike
+    randomSplit)."""
+    t = Tables(spark, sf_dir)
+    pct = _hash_pct(F.col("doc_id"), _SEED)
+    return t.documents.select(
+        "doc_id", F.when(pct < 80, "train").otherwise("test").alias("split")
+    )
+
+
+@register(
+    "shuffle_deterministic",
+    oracle=f"""
+    SELECT doc_id, shuffle_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY MD5('{_SEED}' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank
+        FROM documents
+    ) WHERE shuffle_rank <= 100
+    """,
+    tags=("mlprep", "shuffle"),
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle: order by hash(seed, key). Gives every
+    training run the same example order without storing a permutation;
+    changing the seed string reshuffles."""
+    t = Tables(spark, sf_dir)
+    h = F.md5(F.concat(F.lit(_SEED), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window as W
+
+    # top-k by hash first (TakeOrderedAndProject — partition-local k, no
+    # global sort), THEN rank the k-row result; a bare global row_number
+    # would drag the whole table onto one partition
+    head = (
+        t.documents.select("doc_id", h.alias("h"))
+        .orderBy(F.col("h"), F.col("doc_id"))
+        .limit(100)
+    )
+    rank = F.row_number().over(W.orderBy(F.col("h"), F.col("doc_id")))
+    return head.withColumn("shuffle_rank", rank).select("doc_id", "shuffle_rank")
+
+
+@register(
+    "mix_weighted",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(MD5('mix-' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < CASE WHEN source IN ('src0', 'src1') THEN 90 ELSE 30 END
+    """,
+    tags=("mlprep", "mixing"),
+)
+def mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: per-source keep-rates applied via content
+    hash (keep 90% of preferred sources, 30% of the rest). Deterministic,
+    single-pass, no shuffle — the way corpus mixtures are materialized."""
+    t = Tables(spark, sf_dir)
+    pct = _hash_pct(F.col("doc_id"), "mix-")
+    rate = F.when(F.col("source").isin("src0", "src1"), 90).otherwise(30)
+    return t.documents.filter(pct < rate).select("doc_id", "source")
+
+
+@register(
+    "sample_stratified",
+    oracle=None,  # sampling fractions are engine-specific RNG → rows-only
+    tags=("mlprep", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language with per-stratum fractions
+    (sampleBy): downsample dominant strata, keep the tail. Seeded, but
+    Spark's RNG stream is partitioning-dependent — use the hash-based
+    operators above when cross-run stability matters; sampleBy when only
+    statistical behavior matters."""
+    t = Tables(spark, sf_dir)
+    fractions = {"en": 0.3, "es": 0.8, "fr": 0.8, "de": 0.8, "zh": 1.0}
+    return t.documents.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@register(
+    "pack_sequences",
+    oracle=None,  # greedy packing is order-stateful → rows-only + tests
+    tags=("mlprep", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedily pack documents into fixed token-budget
+    bins (here 512 whitespace tokens) to minimize padding waste in
+    training batches. Packing is inherently sequential, so it runs
+    greedy-per-group via applyInPandas: docs are hash-bucketed into
+    independent groups (deterministic), each group packs locally — the
+    standard scale-out compromise (bin quality within a group, perfect
+    parallelism across groups)."""
+    budget = 512
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.xxhash64("doc_id") % 16).alias("pack_group"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins: list[int] = []
+        bin_ids, remaining = [], []
+        for _, row in pdf.iterrows():
+            n = min(int(row["n_tokens"]), budget)
+            for i, free in enumerate(bins):
+                if free >= n:
+                    bins[i] = free - n
+                    bin_ids.append(i)
+                    break
+            else:
+                bins.append(budget - n)
+                bin_ids.append(len(bins) - 1)
+            remaining.append(n)
+        pdf["bin_id"] = bin_ids
+        pdf["used_tokens"] = remaining
+        return pdf[["doc_id", "pack_group", "bin_id", "used_tokens"]]
+
+    return docs.groupBy("pack_group").applyInPandas(
+        pack, schema="doc_id long, pack_group long, bin_id int, used_tokens int"
+    )
+
+
+@register(
+    "dq_report",
+    oracle="""
+    SELECT 'orders' AS tbl, 'rowcount' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS observed,
+           COUNT(*) > 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'null_custkey',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'orphan_orders',
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem', 'negative_price',
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice < 0) AS BIGINT),
+           COUNT(*) FILTER (WHERE l_extendedprice < 0) = 0
+    FROM lineitem
+    """,
+    tags=("quality",),
+)
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: row counts, null checks, referential integrity
+    (orphan orders), value-domain checks — one DataFrame of receipts,
+    the machine-readable form of the reference's implicit trust in its
+    sources. Each check is an independent lazy plan; the union executes
+    them in one job."""
+    t = Tables(spark, sf_dir)
+    orders, customer, lineitem = t.orders, t.customer, t.lineitem
+
+    def row(tbl: str, check: str, observed: F.Column, passed: F.Column, src: DataFrame):
+        return src.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(check).alias("check_name"),
+            observed.cast("long").alias("observed"),
+            passed.alias("passed"),
+        )
+
+    n_orders = row("orders", "rowcount", F.count(F.lit(1)), F.count(F.lit(1)) > 0, orders)
+    nulls = row(
+        "orders",
+        "null_custkey",
+        F.count_if(F.col("o_custkey").isNull()),
+        F.count_if(F.col("o_custkey").isNull()) == 0,
+        orders,
+    )
+    orphans_src = orders.join(
+        customer, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    orphans = row("orders", "orphan_orders", F.count(F.lit(1)), F.count(F.lit(1)) == 0, orphans_src)
+    neg = row(
+        "lineitem",
+        "negative_price",
+        F.count_if(F.col("l_extendedprice") < 0),
+        F.count_if(F.col("l_extendedprice") < 0) == 0,
+        lineitem,
+    )
+    return n_orders.unionByName(nulls).unionByName(orphans).unionByName(neg)

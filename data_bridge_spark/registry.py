@@ -50,6 +50,7 @@ _MODULES = (
     "data_bridge_spark.operators.sqlapi",
     "data_bridge_spark.operators.analytics",
     "data_bridge_spark.operators.warehouse",
+    "data_bridge_spark.operators.mlprep",
 )
 
 

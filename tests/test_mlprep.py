@@ -1,0 +1,55 @@
+"""Semantic tests for the training-data-prep operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_bridge_spark.registry import load_all
+
+REG = load_all()
+
+
+def test_split_is_stable_and_partition_independent(spark, sf_dir):
+    a = {(r.doc_id, r.split) for r in REG["split_train_test"].fn(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.split) for r in REG["split_train_test"].fn(spark, sf_dir).collect()}
+    assert a == b
+    train = sum(1 for _, s in a if s == "train")
+    assert 0.7 < train / len(a) < 0.9  # ~80/20
+
+
+def test_pack_sequences_respects_budget(spark, sf_dir):
+    df = REG["pack_sequences"].fn(spark, sf_dir)
+    totals = (
+        df.groupBy("pack_group", "bin_id")
+        .agg(F.sum("used_tokens").alias("total"))
+        .collect()
+    )
+    assert totals and all(r.total <= 512 for r in totals)
+    # packing should do materially better than one-doc-per-bin
+    n_docs = df.count()
+    n_bins = df.select("pack_group", "bin_id").distinct().count()
+    assert n_bins < n_docs
+
+
+def test_stratified_sample_hits_fractions(spark, sf_dir):
+    out = REG["sample_stratified"].fn(spark, sf_dir)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fractions = {"en": 0.3, "es": 0.8, "fr": 0.8, "de": 0.8, "zh": 1.0}
+    for lang, frac in fractions.items():
+        ratio = got.get(lang, 0) / full[lang]
+        assert abs(ratio - frac) < 0.25, f"{lang}: {ratio} vs {frac}"
+
+
+def test_dq_report_passes_on_clean_data(spark, sf_dir):
+    rows = {r.check_name: r for r in REG["dq_report"].fn(spark, sf_dir).collect()}
+    assert rows["rowcount"].passed and rows["rowcount"].observed > 0
+    assert rows["null_custkey"].passed
+    assert rows["orphan_orders"].passed
+    assert rows["negative_price"].passed
