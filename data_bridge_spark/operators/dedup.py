@@ -52,15 +52,25 @@ _N_HASHES = 16  # minhash signature length; 2 bands x 8 rows
 _BANDS = 2
 
 
-def _minhash_cols() -> list[F.Column]:
-    """k min-hashes over the word set: mh_j = min(md5(word || '#j'))."""
-    words = F.array_distinct(F.split(_norm(F.col("text")), " "))
+def _minhash_exprs(text_col: str = "text") -> list[F.Column]:
+    """k min-hashes over the word set (unaliased): mh_j = min(md5(w#j))."""
+    words = F.array_distinct(F.split(_norm(F.col(text_col)), " "))
     return [
-        F.array_min(F.transform(words, lambda w: F.md5(F.concat(w, F.lit(f"#{j}"))))).alias(
-            f"mh_{j}"
-        )
+        F.array_min(F.transform(words, lambda w: F.md5(F.concat(w, F.lit(f"#{j}")))))
         for j in range(_N_HASHES)
     ]
+
+
+def _minhash_cols() -> list[F.Column]:
+    return [e.alias(f"mh_{j}") for j, e in enumerate(_minhash_exprs())]
+
+
+def band_hash_expr(text_col: str = "text") -> F.Column:
+    """One LSH band key (first half of the signature, hashed) — the
+    bucket id used for candidate generation and for streaming fuzzy dedup
+    (streaming/windows.stream_dedup_fuzzy)."""
+    first_band = _minhash_exprs(text_col)[: _N_HASHES // _BANDS]
+    return F.md5(F.concat_ws("|", *first_band))
 
 
 def _minhash_sql_cols() -> str:

@@ -95,6 +95,22 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_dedup_fuzzy(docs: DataFrame, watermark_col: str = "ts") -> DataFrame:
+    """Streaming near-dup suppression: MinHash-LSH band keys computed on
+    the stream, stateful dedup on the band hash — the first document in
+    any near-dup band bucket passes, later lookalikes are dropped while
+    their band lives inside the watermark horizon. The streaming twin of
+    the batch minhash/banding stage (operators/dedup.py), with state
+    bounded by the watermark (the property that makes fuzzy dedup viable
+    on an unbounded crawl feed)."""
+    from data_bridge_spark.operators.dedup import band_hash_expr
+
+    keyed = docs.withColumn("band_hash", band_hash_expr())
+    return keyed.withWatermark(watermark_col, "1 hour").dropDuplicatesWithinWatermark(
+        ["band_hash"]
+    )
+
+
 def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     """Drive a streaming plan to completion against an in-memory table and
     return the result as a batch DataFrame (test/debug harness)."""
