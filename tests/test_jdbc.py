@@ -81,3 +81,33 @@ def test_jdbc_custom_schema(spark, derby):
     )
     assert dict(df.dtypes)["GRADE"] == "decimal(6,2)"
     assert df.count() == 5
+
+
+def test_runner_jdbc_extract_step(spark, derby, tmp_path):
+    """The pipeline runtime's extract step against a live JDBC source:
+    config -> runner -> templated query -> delivered CSV."""
+    from data_bridge_spark.plans.models import ExtractStep, LoadStep, Stream
+    from data_bridge_spark.plans.runner import StreamRunner
+
+    stream = Stream(
+        name="jdbc_stream",
+        sources=[derby.model_dump()],
+        destinations=[
+            {"protocol": "fileshare", "name": "out", "mount_path": str(tmp_path), "remote_dir": "r"}
+        ],
+        steps=[
+            ExtractStep(
+                name="pull",
+                source="derby",
+                output="students",
+                query="SELECT id, name, grade FROM students WHERE campus = ::campus::",
+                params={"campus": 20},
+            ),
+            LoadStep(name="ship", destination="out", input="students", file_name="s.csv"),
+        ],
+    )
+    result = StreamRunner(spark, stream).run()
+    assert result.status == "success"
+    assert result.dest_responses[0].records_processed == 2
+    content = (tmp_path / "r" / "s.csv").read_text()
+    assert "cyd" in content and "dee" in content and "ada" not in content
