@@ -74,10 +74,10 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessions AS (
         SELECT user_id, ts, event_id,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -249,11 +249,11 @@ def asof_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_pivot",
     oracle="""
     SELECT user_id,
-           COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-           COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
-           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-           COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
-           COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup
     FROM events
     GROUP BY user_id
     """,

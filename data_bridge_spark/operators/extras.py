@@ -87,8 +87,8 @@ def filter_step_param(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
     SELECT o_orderstatus AS status, o_orderpriority AS priority,
-           GROUPING(o_orderstatus) AS g_status,
-           GROUPING(o_orderpriority) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_priority,
            COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM orders
@@ -195,7 +195,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            ) AS last_price,
-           NTILE(4) OVER w AS quartile
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
     FROM orders
     WHERE o_custkey <= 100
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)

@@ -57,7 +57,7 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, shuffle_rank FROM (
         SELECT doc_id,
-               ROW_NUMBER() OVER (ORDER BY MD5('{_SEED}' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank
+               CAST(ROW_NUMBER() OVER (ORDER BY MD5('{_SEED}' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS shuffle_rank
         FROM documents
     ) WHERE shuffle_rank <= 100
     """,

@@ -41,7 +41,7 @@ def _fake_features(payload: bytes) -> tuple[int, int, float]:
     "mm_binary_meta",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
            MD5(text) AS payload_md5
     FROM documents
     """,

@@ -23,7 +23,7 @@ from data_bridge_spark.registry import register
     oracle="""
     SELECT c_custkey,
            UPPER(c_name) AS name_upper,
-           LENGTH(c_name) AS name_len,
+           CAST(LENGTH(c_name) AS INTEGER) AS name_len,
            SUBSTRING(c_name, 10, 9) AS cust_num,
            CONCAT_WS('/', c_mktsegment, c_name) AS seg_name,
            REPLACE(c_name, 'Customer#', 'C') AS short_name,
@@ -53,12 +53,12 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_date",
     oracle="""
     SELECT o_orderkey,
-           YEAR(o_orderdate) AS order_year,
-           MONTH(o_orderdate) AS order_month,
-           DAY(o_orderdate) AS order_day,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
            STRFTIME(o_orderdate, '%Y%m%d') AS yyyymmdd,
-           CASE WHEN MONTH(o_orderdate) > 7 THEN YEAR(o_orderdate) + 1
-                ELSE YEAR(o_orderdate) END AS school_year
+           CAST(CASE WHEN MONTH(o_orderdate) > 7 THEN YEAR(o_orderdate) + 1
+                ELSE YEAR(o_orderdate) END AS INTEGER) AS school_year
     FROM orders
     """,
     tags=("scalar", "date"),

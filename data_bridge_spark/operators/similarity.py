@@ -37,10 +37,10 @@ _COS_SQL = """
     SELECT probe_id, cand_id, cos_sim, rk FROM (
         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                {_COS_SQL} AS cos_sim,
-               ROW_NUMBER() OVER (
+               CAST(ROW_NUMBER() OVER (
                    PARTITION BY p.vec_id
                    ORDER BY {_COS_SQL} DESC, c.vec_id ASC
-               ) AS rk
+               ) AS INTEGER) AS rk
         FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
         WHERE p.vec_id < 10
     ) WHERE rk <= 5
@@ -162,10 +162,10 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT probe_id, cand_id, cos_sim, rk FROM (
         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                {_COS_SQL} AS cos_sim,
-               ROW_NUMBER() OVER (
+               CAST(ROW_NUMBER() OVER (
                    PARTITION BY p.vec_id
                    ORDER BY {_COS_SQL} DESC, c.vec_id ASC
-               ) AS rk
+               ) AS INTEGER) AS rk
         FROM sig p JOIN sig c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
         WHERE p.vec_id < 50
     ) WHERE rk <= 3

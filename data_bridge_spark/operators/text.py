@@ -21,7 +21,7 @@ _SW_SQL = "', '".join(_STOPWORDS)
     "text_tokens",
     oracle="""
     SELECT doc_id,
-           LENGTH(text) AS n_chars_actual,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars_actual,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(string_split(LOWER(text), ' '))) AS INTEGER) AS n_unique,
            CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)

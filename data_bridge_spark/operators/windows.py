@@ -20,10 +20,10 @@ from data_bridge_spark.registry import register
     oracle="""
     SELECT * FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
-               ROW_NUMBER() OVER (
+               CAST(ROW_NUMBER() OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey ASC
-               ) AS rk
+               ) AS INTEGER) AS rk
         FROM orders
     ) WHERE rk <= 3
     """,

@@ -59,6 +59,28 @@ def rowset(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=lambda r: tuple(str(x) for x in r))
 
 
+def canon_spark_type(t: str) -> str:
+    t = t.lower()
+    return {
+        "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+        "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+        "date": "date", "timestamp_ntz": "ts", "timestamp": "ts",
+        "array<bigint>": "i64[]",
+    }.get(t, t)
+
+
+def canon_duck_type(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return t
+    return {
+        "bigint": "i64", "hugeint": "i128", "integer": "i32", "smallint": "i16",
+        "tinyint": "i8", "double": "f64", "float": "f32", "varchar": "str",
+        "boolean": "bool", "date": "date", "timestamp": "ts",
+        "timestamp_ns": "ts", "bigint[]": "i64[]",
+    }.get(t, t)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -100,6 +122,16 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            stypes = dict(sdf.dtypes)
+            otypes = {
+                r[0]: r[1]
+                for r in con.execute(f"DESCRIBE SELECT * FROM ({q.oracle})").fetchall()
+            }
+            for col, st in stypes.items():
+                a, b = canon_spark_type(st), canon_duck_type(otypes.get(col, "?"))
+                if a != b:
+                    problems.append(f"dtype {col}: spark={st} oracle={otypes.get(col)}")
         if not problems:
             sset = rowset(scols, srows)
             oset = rowset(ocols, orows)
