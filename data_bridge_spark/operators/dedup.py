@@ -3,8 +3,9 @@
 Scale design: every variant is expressed as hash-partitionable DataFrame
 ops — group-bys on a fingerprint key and band-bucket self-joins — exactly
 the shapes that shuffle cleanly at 100 TB. Hashes are md5 (available and
-identical in Spark and DuckDB) so the exact/fingerprint/minhash stages are
-oracle-checkable; only the final graph-clustering step is rows-only.
+identical in Spark and DuckDB) so every stage — exact fingerprints,
+minhash signatures, LSH band pairs, simhash bits, and the connected-
+components keep-one (DuckDB recursive CTE) — is oracle-checked.
 """
 
 from __future__ import annotations
@@ -82,6 +83,22 @@ def _minhash_sql_cols() -> str:
     return ",\n           ".join(cols)
 
 
+def _bands_sql() -> str:
+    """DuckDB CTE text computing the same (band_idx, band_hash) rows the
+    Spark side derives — signatures CTE + one SELECT per band."""
+    rows_per_band = _N_HASHES // _BANDS
+    selects = []
+    for b in range(_BANDS):
+        cols = ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, MD5(CONCAT_WS('|', {cols})) AS band_hash FROM sig"
+        )
+    return (
+        f"sig AS (\n        SELECT doc_id,\n           {_minhash_sql_cols()}\n        FROM documents\n    ),\n"
+        "    bands AS (\n        " + "\n        UNION ALL\n        ".join(selects) + "\n    )"
+    )
+
+
 @register(
     "dedup_minhash",
     oracle=f"""
@@ -101,7 +118,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_pairs",
-    oracle=None,  # band-bucket self-join; pair set is checked rows-only
+    oracle=f"""
+    WITH {_bands_sql()}
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    """,
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,19 +203,46 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_vote_sql(i: int) -> str:
+    """DuckDB vote expression for signature bit ``i``: the word hash is the
+    first 8 hex chars of md5(w) read as a big-endian 32-bit int, so bit i
+    lives in hex digit ``8 - i//4`` at in-digit shift ``i%4`` — the exact
+    bit layout Spark's ``conv(substr(md5(w),1,8),16,10)`` produces."""
+    pos, shift = 8 - i // 4, i % 4
+    digit = f"(strpos('0123456789abcdef', substr(md5(w), {pos}, 1)) - 1)"
+    return (
+        "list_aggregate(list_transform(words, w -> "
+        f"CASE WHEN (({digit} >> {shift}) & 1) = 1 THEN 1 ELSE -1 END), 'sum')"
+    )
+
+
+_SIMHASH_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN {_simhash_vote_sql(i)} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))} AS BIGINT) AS simhash
+    FROM w
+"""
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # bit-level simhash uses xxhash64 (Spark-specific) → rows-only
+    oracle=_SIMHASH_SQL,
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 32-bit signature where bit i is the sign of the sum over
     tokens of (+1/-1 from token-hash bit i). Hamming-close signatures ≈
-    similar documents. Pure JVM expressions (xxhash64 + bit ops); at scale,
-    group on signature prefixes to bucket candidates."""
+    similar documents. Pure JVM expressions (md5-derived 32-bit word hash
+    + bit ops — md5 instead of xxhash64 so DuckDB reproduces the bits);
+    at scale, group on signature prefixes to bucket candidates."""
     t = Tables(spark, sf_dir)
     words = F.array_distinct(F.split(_norm(F.col("text")), " "))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
     bit_votes = [
         F.aggregate(
             hashes,
@@ -211,7 +260,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint — not SQL-expressible → rows-only
+    oracle=f"""
+    WITH RECURSIVE {_bands_sql()},
+    edges AS (
+        SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+        FROM bands l JOIN bands r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+             AND l.doc_id <> r.doc_id
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    lbl AS (SELECT a AS doc_id, MIN(b) AS label FROM reach GROUP BY a)
+    SELECT label, MIN(doc_id) AS keep_id, COUNT(*) AS cluster_size
+    FROM lbl GROUP BY label
+    """,
     tags=("dedup", "graph"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +316,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
     labels = bands.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(10):  # diameter bound; tiny for LSH clusters
+    for _ in range(30):  # diameter bound; runs to fixpoint (early-exit below)
         neighbor_min = (
             both.join(labels, both.dst == labels.doc_id)
             .groupBy("src")

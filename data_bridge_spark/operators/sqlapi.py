@@ -217,21 +217,32 @@ def scalar_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_tz",
-    oracle=None,  # tz database application differs across engines → rows-only
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_utc,
+           strftime(timezone('America/Chicago', timezone('UTC', ts)),
+                    '%Y-%m-%d %H:%M:%S') AS ts_chicago,
+           CAST((epoch(timezone('America/Chicago', timezone('UTC', ts)))
+                 - epoch(ts)) / 3600 AS INTEGER) AS utc_offset_hours
+    FROM events WHERE event_id < 500
+    """,
     tags=("scalar", "timezone"),
 )
 def scalar_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timezone conversions for the reference's timestamp_timezone type
     (ref extractor.py:201 pins America/Chicago): NTZ event times
     interpreted as UTC instants, rendered in Chicago local time, with the
-    UTC offset derived per-row (CST/CDT across DST)."""
+    UTC offset derived per-row (CST/CDT across DST). Local times render
+    as strings second-precision on both engines, so the oracle pins the
+    tz-database application itself rather than engine-specific timestamp
+    rendering."""
     t = Tables(spark, sf_dir)
     ts = F.col("ts")
     chicago = F.convert_timezone(F.lit("UTC"), F.lit("America/Chicago"), ts)
     return t.events.filter(F.col("event_id") < 500).select(
         "event_id",
-        ts.alias("ts_utc"),
-        chicago.alias("ts_chicago"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("ts_utc"),
+        F.date_format(chicago, "yyyy-MM-dd HH:mm:ss").alias("ts_chicago"),
         ((F.unix_micros(chicago.cast("timestamp")) - F.unix_micros(ts.cast("timestamp"))) / 3600_000_000)
         .cast("int")
         .alias("utc_offset_hours"),
