@@ -65,6 +65,8 @@ class SourceSftp(BaseModel):
     password: str = ""
     remote_path: str = ""
     format: Literal["parquet", "csv", "json"] = "csv"
+    # pinned SHA256 host-key fingerprint; empty → system known_hosts only
+    host_key_fingerprint: str = ""
 
 
 class SourceDrive(BaseModel):
@@ -102,6 +104,8 @@ class DestSftp(BaseModel):
     user: str = ""
     password: str = ""
     remote_dir: str = ""
+    # pinned SHA256 host-key fingerprint; empty → system known_hosts only
+    host_key_fingerprint: str = ""
 
 
 class DestSmtp(BaseModel):

@@ -45,8 +45,21 @@ def write_table(
     ``single_file=True`` produces exactly one artifact at ``path`` (the
     reference's per-delivery CSV, A11); otherwise ``path`` is a directory
     of part files (distributed layout).
+
+    The returned row count comes from ``df.observe`` metrics accumulated
+    by the write job itself — one execution per delivery, and the receipt
+    always describes the rows actually written (a separate ``count()``
+    would re-run the plan and could disagree on non-deterministic plans).
     """
-    n = df.count()
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    def observed() -> int:
+        return int(obs.get["n"])
+
     if not single_file:
         writer = df.write.mode(mode)
         if fmt == "csv":
@@ -55,7 +68,7 @@ def write_table(
             writer.parquet(path)
         else:
             writer.json(path)
-        return n
+        return observed()
 
     tmp = tempfile.mkdtemp(prefix="dbs_sink_")
     try:
@@ -75,7 +88,7 @@ def write_table(
             raise RuntimeError(f"expected one part file, found {parts}")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         shutil.move(parts[0], path)
-        return n
+        return observed()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -122,15 +135,20 @@ def write_sftp(
         if transport is not None:
             transport.put(local, remote)
         else:  # pragma: no cover - needs a live SFTP peer
+            from data_bridge_spark.sources.ssh import open_ssh_client
+
             try:
-                import paramiko  # type: ignore
+                client = open_ssh_client(
+                    dest.host,
+                    port=dest.port,
+                    user=dest.user,
+                    password=dest.password,
+                    host_key_fingerprint=dest.host_key_fingerprint,
+                )
             except ImportError as exc:
                 raise NotImplementedError(
                     "SFTP transport requires paramiko (not installed); pass transport="
                 ) from exc
-            client = paramiko.SSHClient()
-            client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
-            client.connect(dest.host, port=dest.port, username=dest.user, password=dest.password)
             sftp = client.open_sftp()
             try:
                 sftp.put(local, remote)

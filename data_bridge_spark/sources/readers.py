@@ -101,16 +101,21 @@ def read_sftp_source(
     if transport is not None:
         transport.get(src.remote_path, local)
     else:  # pragma: no cover - needs a live SFTP peer
+        from data_bridge_spark.sources.ssh import open_ssh_client
+
         try:
-            import paramiko  # type: ignore
+            client = open_ssh_client(
+                src.host,
+                port=src.port,
+                user=src.user,
+                password=src.password,
+                host_key_fingerprint=src.host_key_fingerprint,
+            )
         except ImportError as exc:
             raise NotImplementedError(
                 "SFTP transport requires paramiko/pysftp (not in this environment); "
                 "pass `transport=` explicitly"
             ) from exc
-        client = paramiko.SSHClient()
-        client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
-        client.connect(src.host, port=src.port, username=src.user, password=src.password)
         sftp = client.open_sftp()
         try:
             sftp.get(src.remote_path, local)

@@ -106,3 +106,20 @@ def test_runner_auto_caches_fanout(spark, sf_dir):
     runner2 = StreamRunner(spark, stream, auto_cache=False)
     runner2.run()
     assert runner2.cached == []
+
+
+def test_write_table_single_execution(spark, sf_dir, tmp_path):
+    # the delivery row count must come from the write job itself (observe
+    # metrics), not a separate count() action re-running the plan
+    from data_bridge_spark.sinks.writers import write_table
+
+    df = REG["proj_select"].fn(spark, sf_dir)
+    sc = spark.sparkContext
+    sc.setJobGroup("wt_single", "write_table single-execution check")
+    try:
+        n = write_table(df, str(tmp_path / "out.csv"), fmt="csv", single_file=True)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("wt_single")
+    assert n == df.count()
+    assert len(jobs) == 1, f"expected one Spark job for the delivery, got {jobs}"
