@@ -24,9 +24,24 @@ import re
 from collections.abc import Callable, Mapping
 from typing import Any
 
-__all__ = ["render_sql", "resolve_params", "sql_literal", "MACROS", "register_macro"]
+__all__ = [
+    "render_sql",
+    "resolve_params",
+    "sql_literal",
+    "spark_sql_with_params",
+    "MACROS",
+    "register_macro",
+    "MAX_INLINE_LIST",
+]
 
 _PLACEHOLDER = re.compile(r"::([A-Za-z_][A-Za-z0-9_]*)::")
+
+# Above this many values, an IN-list param no longer renders as inline SQL
+# text: the rendered string (and the collected list feeding it) grows
+# without bound on the driver, which is the reference's latent scale bug
+# (extractor.py:68-71). `spark_sql_with_params` flips such params into a
+# temp-view semi-join subquery instead; plain `render_sql` raises.
+MAX_INLINE_LIST = 10_000
 
 
 def _school_year(today: dt.date | None = None) -> int:
@@ -51,8 +66,18 @@ def register_macro(name: str, fn: Callable[[], Any]) -> None:
     MACROS[name] = fn
 
 
-def sql_literal(value: Any) -> str:
-    """Render a Python value as a portable ANSI SQL literal."""
+def sql_literal(value: Any, dialect: str = "ansi") -> str:
+    """Render a Python value as a SQL literal for the target ``dialect``.
+
+    ``"ansi"`` (DuckDB, Derby, standard-conforming JDBC targets) treats a
+    backslash inside ``'...'`` as an ordinary character and only doubles
+    single quotes. Spark SQL's parser additionally processes backslash
+    escapes inside string literals (``escapedStringLiterals`` defaults to
+    false), so for ``dialect="spark"`` a value ending in ``\\`` or
+    containing ``\\'`` would otherwise render malformed — or injectable,
+    since ``step:`` params carry collected *data* values. The ``"spark"``
+    dialect therefore doubles backslashes before quoting.
+    """
     if value is None:
         return "NULL"
     if isinstance(value, bool):
@@ -68,8 +93,11 @@ def sql_literal(value: Any) -> str:
             # empty IN-list: `IN (NULL)` matches nothing, which is the
             # sane semantics for an empty id list (and stays parseable)
             return "NULL"
-        return ", ".join(sql_literal(v) for v in value)
-    s = str(value).replace("'", "''")
+        return ", ".join(sql_literal(v, dialect) for v in value)
+    s = str(value)
+    if dialect == "spark":
+        s = s.replace("\\", "\\\\")
+    s = s.replace("'", "''")
     return f"'{s}'"
 
 
@@ -104,19 +132,85 @@ def render_sql(
     sql: str,
     params: Mapping[str, Any] | None = None,
     step_outputs: Mapping[str, Any] | None = None,
+    dialect: str = "ansi",
+    max_inline_list: int | None = MAX_INLINE_LIST,
 ) -> str:
     """Replace every ``::key::`` placeholder with a rendered literal.
 
     Lists expand to ``a, b, c`` so ``IN (::ids::)`` works exactly like the
-    reference's dynamic IN expansion (``extractor.py:68-71``). Unknown
-    placeholders raise (the reference would silently ship broken SQL).
+    reference's dynamic IN expansion (``extractor.py:68-71``) — but only up
+    to ``max_inline_list`` values; above that the call raises, because an
+    unbounded rendered SQL string is a driver/remote-parser blowup at
+    scale (use ``spark_sql_with_params``, which flips oversize lists into
+    a semi-join subquery, or a join_semi plan). Pass ``None`` to disable
+    the guard. Unknown placeholders raise (the reference would silently
+    ship broken SQL).
     """
     resolved = resolve_params(params or {}, step_outputs)
+    if max_inline_list is not None:
+        for key, value in resolved.items():
+            if isinstance(value, (list, tuple)) and len(value) > max_inline_list:
+                raise ValueError(
+                    f"param {key!r} has {len(value)} values — refusing to render an "
+                    f"inline IN-list above {max_inline_list}; use spark_sql_with_params "
+                    f"(semi-join subquery) or a join_semi plan instead"
+                )
 
     def sub(match: re.Match[str]) -> str:
         key = match.group(1)
         if key not in resolved:
             raise KeyError(f"no value supplied for placeholder ::{key}::")
-        return sql_literal(resolved[key])
+        return sql_literal(resolved[key], dialect)
 
     return _PLACEHOLDER.sub(sub, sql)
+
+
+def spark_sql_with_params(
+    spark: Any,
+    sql: str,
+    params: Mapping[str, Any] | None = None,
+    step_outputs: Mapping[str, Any] | None = None,
+    max_inline_list: int = MAX_INLINE_LIST,
+):
+    """Run a ``::key::`` template on Spark, scale-safe for any list size.
+
+    Small list params render inline exactly like ``render_sql`` (Spark
+    dialect). A list param longer than ``max_inline_list`` instead becomes
+    a single-column temp view, and its placeholder is substituted with
+    ``SELECT ... FROM <view>`` — so ``x IN (::ids::)`` turns into
+    ``x IN (SELECT ...)``, which Catalyst plans as a LeftSemi join
+    (broadcast when small enough). The driver never builds an unbounded
+    SQL string, and the values ride an Arrow batch instead of SQL text.
+    """
+    resolved = resolve_params(params or {}, step_outputs)
+    views: dict[str, str] = {}
+    for key, value in resolved.items():
+        if isinstance(value, (list, tuple)) and len(value) > max_inline_list:
+            view = f"__param_{key}"
+            spark.createDataFrame([(v,) for v in value], f"__{key} {_spark_type(value[0])}")\
+                .createOrReplaceTempView(view)
+            views[key] = f"SELECT __{key} FROM {view}"
+
+    def sub(match: re.Match[str]) -> str:
+        key = match.group(1)
+        if key not in resolved:
+            raise KeyError(f"no value supplied for placeholder ::{key}::")
+        if key in views:
+            return views[key]
+        return sql_literal(resolved[key], "spark")
+
+    return spark.sql(_PLACEHOLDER.sub(sub, sql))
+
+
+def _spark_type(sample: Any) -> str:
+    if isinstance(sample, bool):
+        return "boolean"
+    if isinstance(sample, int):
+        return "bigint"
+    if isinstance(sample, float):
+        return "double"
+    if isinstance(sample, dt.datetime):
+        return "timestamp"
+    if isinstance(sample, dt.date):
+        return "date"
+    return "string"

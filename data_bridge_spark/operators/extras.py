@@ -61,9 +61,12 @@ def filter_step_param(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's step:-to-IN-param pattern executed literally
     (ref extractor.py:107-114 + sample.config.yaml:124-140): a first query
     is *collected* into a Python list on the driver, then templated into
-    the next query's IN list. Kept for parity — at scale prefer join_semi
-    (same result, no driver round-trip)."""
-    from data_bridge_spark.functions.templating import render_sql
+    the next query's IN list. Kept for parity — and scale-guarded:
+    spark_sql_with_params inlines small lists but flips any list above
+    MAX_INLINE_LIST into a temp-view semi-join subquery, so the rendered
+    SQL string can never grow with the data (at scale prefer join_semi
+    outright: same result, no driver round-trip at all)."""
+    from data_bridge_spark.functions.templating import spark_sql_with_params
 
     t = Tables(spark, sf_dir)
     ids = [
@@ -75,12 +78,12 @@ def filter_step_param(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     t.view("orders")
-    sql = render_sql(
+    return spark_sql_with_params(
+        spark,
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
         "WHERE o_custkey IN (::ids::)",
         {"ids": ids},
     )
-    return spark.sql(sql)
 
 
 @register(

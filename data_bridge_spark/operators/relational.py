@@ -135,7 +135,9 @@ def filter_param(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference query.sql:11, extractor.py:63-74). The same rendered SQL
     runs on Spark and the oracle."""
     Tables(spark, sf_dir).view("customer")
-    return spark.sql(render_sql(_FILTER_PARAM_SQL, {"nation_key": 7, "min_balance": 1000.0}))
+    return spark.sql(
+        render_sql(_FILTER_PARAM_SQL, {"nation_key": 7, "min_balance": 1000.0}, dialect="spark")
+    )
 
 
 _FILTER_IN_SQL = """

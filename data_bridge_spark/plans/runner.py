@@ -99,15 +99,20 @@ class StreamRunner:
         if src.protocol == "file":
             df = read_file_source(self.spark, src, table=step.table)
             if step.query:
-                # inline SQL over the file table: register + parameterized sql
-                from data_bridge_spark.functions.templating import render_sql
+                # inline SQL over the file table: register + parameterized
+                # sql. spark_sql_with_params renders Spark-dialect literals
+                # (backslash-safe) and flips oversize step: IN-lists into a
+                # temp-view semi-join instead of unbounded SQL text.
+                from data_bridge_spark.functions.templating import spark_sql_with_params
 
                 view = f"__{step.output}_src"
                 df.createOrReplaceTempView(view)
-                sql = render_sql(
-                    step.query.replace("::table::", view), step.params, self.step_outputs
+                df = spark_sql_with_params(
+                    self.spark,
+                    step.query.replace("::table::", view),
+                    step.params,
+                    self.step_outputs,
                 )
-                df = self.spark.sql(sql)
         elif src.protocol == "sql":
             query = step.query
             if step.query_file:

@@ -57,8 +57,13 @@ def read_jdbc(
     the reference's semantics exactly. With ``partition_column``/bounds,
     Spark splits the read into ``num_partitions`` parallel range scans,
     the distributed upgrade the reference's single fetchall() lacked.
+
+    List params above ``MAX_INLINE_LIST`` raise: there is no temp-view
+    escape hatch on a remote DB, and an unbounded IN-list blows up both
+    the driver string and the remote parser. Stage oversize key sets to
+    the cluster and join_semi instead.
     """
-    rendered = render_sql(query, params or {}, step_outputs)
+    rendered = render_sql(query, params or {}, step_outputs, dialect="ansi")
     reader = (
         spark.read.format("jdbc")
         .option("url", src.url)

@@ -10,6 +10,7 @@ from data_bridge_spark.functions.templating import (
     MACROS,
     render_sql,
     resolve_params,
+    spark_sql_with_params,
     sql_literal,
 )
 
@@ -69,3 +70,50 @@ def test_unknown_placeholder_raises():
 def test_repeated_placeholder():
     out = render_sql("WHERE a = ::x:: OR b = ::x::", {"x": 1})
     assert out == "WHERE a = 1 OR b = 1"
+
+
+def test_backslash_dialects():
+    # ANSI (DuckDB/Derby): backslash is an ordinary char, quotes double
+    assert sql_literal("a\\b'c") == "'a\\b''c'"
+    # Spark processes backslash escapes in literals → double them too
+    assert sql_literal("a\\b'c", dialect="spark") == "'a\\\\b''c'"
+    # a value ending in a backslash must not swallow the closing quote
+    assert sql_literal("trailing\\", dialect="spark") == "'trailing\\\\'"
+
+
+def test_spark_dialect_roundtrip_hostile_values(spark):
+    # data-derived param values (step: outputs) must come back verbatim
+    # from spark.sql — no escape processing, no injection
+    hostile = ["a\\b", "x' OR '1'='1", "end\\", "quote''\\'mix"]
+    for v in hostile:
+        sql = render_sql("SELECT ::v:: AS v", {"v": v}, dialect="spark")
+        assert spark.sql(sql).collect()[0].v == v
+
+
+def test_render_sql_guards_oversize_lists():
+    big = list(range(20_001))
+    with pytest.raises(ValueError, match="refusing to render"):
+        render_sql("WHERE x IN (::ids::)", {"ids": big})
+    # explicit opt-out still renders
+    out = render_sql("WHERE x IN (::ids::)", {"ids": big}, max_inline_list=None)
+    assert out.endswith("20000)")
+
+
+def test_spark_sql_with_params_flips_to_semijoin(spark):
+    rows = spark.range(100).selectExpr("id AS k")
+    rows.createOrReplaceTempView("__tmpl_t")
+    keep = [int(i) for i in range(0, 100, 2)]
+    # force the view path with a tiny threshold; inline path as control
+    small = spark_sql_with_params(
+        spark, "SELECT k FROM __tmpl_t WHERE k IN (::ks::)", {"ks": keep}
+    )
+    flipped = spark_sql_with_params(
+        spark,
+        "SELECT k FROM __tmpl_t WHERE k IN (::ks::)",
+        {"ks": keep},
+        max_inline_list=10,
+    )
+    assert sorted(r.k for r in small.collect()) == keep
+    assert sorted(r.k for r in flipped.collect()) == keep
+    # the flipped plan is a real semi-join, not a rendered IN-list
+    assert "LeftSemi" in flipped._jdf.queryExecution().optimizedPlan().toString()
