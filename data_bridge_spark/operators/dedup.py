@@ -83,7 +83,7 @@ def _minhash_sql_cols() -> str:
     return ",\n           ".join(cols)
 
 
-def _bands_sql() -> str:
+def _bands_sql(src: str = "documents") -> str:
     """DuckDB CTE text computing the same (band_idx, band_hash) rows the
     Spark side derives — signatures CTE + one SELECT per band."""
     rows_per_band = _N_HASHES // _BANDS
@@ -94,7 +94,7 @@ def _bands_sql() -> str:
             f"SELECT doc_id, {b} AS band_idx, MD5(CONCAT_WS('|', {cols})) AS band_hash FROM sig"
         )
     return (
-        f"sig AS (\n        SELECT doc_id,\n           {_minhash_sql_cols()}\n        FROM documents\n    ),\n"
+        f"sig AS (\n        SELECT doc_id,\n           {_minhash_sql_cols()}\n        FROM {src}\n    ),\n"
         "    bands AS (\n        " + "\n        UNION ALL\n        ".join(selects) + "\n    )"
     )
 
@@ -290,9 +290,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same loop runs with checkpointing per round (done here via
     localCheckpoint to cut lineage growth).
     """
-    sig = Tables(spark, sf_dir).documents.select("doc_id", *_minhash_cols())
+    docs = Tables(spark, sf_dir).documents
+    labels = _lsh_cc_labels(docs)
+    return labels.groupBy("label").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+def _band_df(docs: DataFrame) -> DataFrame:
+    """doc_id + one band-hash column per LSH band (band_0..band_{B-1})."""
+    sig = docs.select("doc_id", *_minhash_cols())
     rows_per_band = _N_HASHES // _BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         *[
             F.md5(
@@ -303,6 +312,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_BANDS)
         ],
     )
+
+
+def _lsh_cc_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, label) via min-label propagation over LSH band edges.
+
+    Each iteration is two hash joins + a group-by — all shuffle-
+    partitionable; iterations are O(graph diameter), with localCheckpoint
+    per round to cut lineage (checkpoint() to durable storage is the
+    cluster-scale swap, see SCALE.md).
+    """
+    bands = _band_df(docs)
     # undirected edges from shared band buckets
     edges = None
     for b in range(_BANDS):
@@ -342,9 +362,56 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    return labels
+
+
+@register(
+    "dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE ex AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5({_NORM_SQL})
+    ),
+    docs AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN ex ON d.doc_id = ex.doc_id
+    ),
+    {_bands_sql(src="docs")},
+    edges AS (
+        SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+        FROM bands l JOIN bands r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+             AND l.doc_id <> r.doc_id
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM docs
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    lbl AS (SELECT a AS doc_id, MIN(b) AS label FROM reach GROUP BY a)
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS cluster_size
+    FROM lbl GROUP BY label
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-data dedup story as ONE lazy plan: exact dedup
+    (normalized-content fingerprint, keep min doc_id) → MinHash signatures
+    → LSH bands → connected components over candidate edges → keep-one per
+    near-dup cluster. Returns the kept doc set with its cluster size.
+
+    Every stage is the shuffle shape that scales: fingerprint group-by,
+    zero-shuffle signatures, band-bucket equi-joins, and an O(diameter)
+    min-label loop — no cross product anywhere. The stages are also
+    registered individually (dedup_exact/minhash/minhash_pairs/clusters);
+    this query is their composition, oracle-checked end-to-end against a
+    DuckDB recursive CTE on the same data."""
+    docs = Tables(spark, sf_dir).documents
+    fp = docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fp"))
+    keep_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(keep_exact, "doc_id", "left_semi").select("doc_id", "text")
+    labels = _lsh_cc_labels(survivors)
     return labels.groupBy("label").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("cluster_size")
-    )
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("cluster_size")
+    ).select("doc_id", "cluster_size")
 
 
 @register(
