@@ -26,18 +26,49 @@ HEADLINE = (
     "agg_report",
     "join_inner",
     "join_left",
+    "join_range",
     "window_rank",
     "window_running",
     "sort_topk",
     "agg_rollup",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_pairs",
     "sim_topk",
     "text_quality",
     "win_session",
     "win_tumbling",
     "events_pivot",
+    "scd2_merge",
+    "pipeline_stream_query",
 )
+
+
+def _prev_round_timings() -> tuple[str, dict[str, float]] | None:
+    """Latest BENCH_r{N}.json in the repo root, for per-query regression
+    deltas — a query >2x its prior-round time is a regression to chase."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, path)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            data = json.load(f)
+        # the driver records {"parsed": <our JSON line>, ...}; accept both
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        return os.path.basename(best[1]), dict(data.get("queries", {}))
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def main() -> None:
@@ -69,17 +100,23 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prev = _prev_round_timings()
+    if prev is not None:
+        prev_file, prev_q = prev
+        out["vs_prev"] = {
+            "file": prev_file,
+            "delta_sec": {
+                n: round(timings[n] - prev_q[n], 3) for n in timings if n in prev_q
+            },
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -127,26 +127,39 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: hash the signature into bands, self-join on
-    (band_index, band_hash) buckets, emit candidate near-dup pairs.
-    The self-join shuffles on the band hash — bounded bucket sizes keep
-    the quadratic blowup local, the scale property LSH exists for."""
+    """LSH banding: hash the signature into bands, group docs by
+    (band_index, band_hash) bucket, emit candidate near-dup pairs within
+    each bucket.
+
+    The band table (doc_id, band_idx, band_hash — a few dozen bytes/row,
+    tiny next to the documents it summarizes) is localCheckpoint'd so the
+    k minhashes are computed once, not once per join side; the self-join
+    then shuffles only checkpointed band rows, and AQE's skew-join splits
+    hot buckets (the synthetic corpus has a 1.8k-doc bucket vs avg 5 —
+    in-bucket pair expansion would serialize exactly there). Bounded
+    bucket sizes keep the quadratic blowup local, the scale property LSH
+    exists for. At cluster scale, swap localCheckpoint for a persisted
+    signature table (see SCALE.md)."""
     t = Tables(spark, sf_dir)
     sig = t.documents.select("doc_id", *_minhash_cols())
     rows_per_band = _N_HASHES // _BANDS
-    bands = sig.select(
-        "doc_id",
-        F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+    bands = (
+        sig.select(
+            "doc_id",
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        )
                     )
-                )
-                for b in range(_BANDS)
-            ]
-        ).alias("band_hashes"),
-    ).select("doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash"))
+                    for b in range(_BANDS)
+                ]
+            ).alias("band_hashes"),
+        )
+        .select("doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash"))
+        .localCheckpoint(eager=False)
+    )
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -322,7 +335,9 @@ def _lsh_cc_labels(docs: DataFrame) -> DataFrame:
     per round to cut lineage (checkpoint() to durable storage is the
     cluster-scale swap, see SCALE.md).
     """
-    bands = _band_df(docs)
+    # checkpoint the small band table: the per-band self-joins below would
+    # otherwise recompute every minhash signature 2x per band
+    bands = _band_df(docs).localCheckpoint(eager=False)
     # undirected edges from shared band buckets
     edges = None
     for b in range(_BANDS):
