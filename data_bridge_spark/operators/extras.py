@@ -386,15 +386,15 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed writer + coalesce(1), read it back. The returned rows
     prove the round trip; DestinationResponse receipts are covered by the
     pipeline e2e tests."""
-    import tempfile
-
     from data_bridge_spark.sinks.writers import write_table
+    from data_bridge_spark.util import tracked_tempdir
 
     t = Tables(spark, sf_dir)
     out = t.nation.join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")).select(
         "n_nationkey", "n_name", "r_name"
     )
-    path = tempfile.mkdtemp(prefix="dbs_sink_csv_") + "/nations.csv"
+    # atexit-tracked: the returned lazy DataFrame still reads this path
+    path = tracked_tempdir("dbs_sink_csv_") + "/nations.csv"
     write_table(out, path, fmt="csv", single_file=True)
     return spark.read.option("header", "true").csv(path)
 

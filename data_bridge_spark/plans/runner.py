@@ -226,10 +226,19 @@ class StreamRunner:
                             f"load step {step.name!r} failed: {response.message}"
                         )
             result.status = "success"
-        except Exception:
+        except Exception as exc:
             result.status = "failed"
             result.end_time = dt.datetime.now()
+            # the partial result — earlier successful receipts plus the
+            # failure receipt — stays reachable to callers, mirroring the
+            # reference's persisted DataStore responses
+            exc.run_result = result  # type: ignore[attr-defined]
             raise
+        finally:
+            for name in self.cached:
+                out = self.step_outputs.get(name)
+                if isinstance(out, DataFrame):
+                    out.unpersist()
         result.end_time = dt.datetime.now()
         return result
 

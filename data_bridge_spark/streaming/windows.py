@@ -31,15 +31,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The parquet stores TIMESTAMP(NANOS) (see catalog._read_events), so the
     stream reads ts as raw long nanos and rebuilds a microsecond
     TimestampType — watermarks need an instant-typed column.
+
+    nanosAsLong is a session conf with no per-scan equivalent, and it is
+    read when the stream executes — it cannot be set/restored around
+    ``load()``. It is deliberately left session-pinned, to the SAME value
+    the batch catalog pins in ``Tables.__init__`` (so batch reads of the
+    events table behave identically); every other parquet table in the
+    testdata has no nanos column and is unaffected.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file streaming source wants a directory; stage a symlink dir
     # pointing at the single events.parquet (a real deployment points this
-    # at a landing directory / Kafka topic instead)
+    # at a landing directory / Kafka topic instead). atexit-tracked: the
+    # StreamingQuery built on the returned plan reads it until stopped.
     import os
-    import tempfile
 
-    staging = tempfile.mkdtemp(prefix="dbs_stream_src_")
+    from data_bridge_spark.util import tracked_tempdir
+
+    staging = tracked_tempdir("dbs_stream_src_")
     os.symlink(
         os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(staging, "events.parquet")
     )
@@ -113,7 +122,10 @@ def stream_dedup_fuzzy(docs: DataFrame, watermark_col: str = "ts") -> DataFrame:
 
 def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     """Drive a streaming plan to completion against an in-memory table and
-    return the result as a batch DataFrame (test/debug harness)."""
+    return the result as a batch DataFrame (test/debug harness).
+
+    The memory-sink table is materialized and dropped before returning —
+    repeated calls don't accumulate driver-resident result tables."""
     name = f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.outputMode(mode)
@@ -125,7 +137,10 @@ def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     q.processAllAvailable()
     q.stop()
     spark = stream_df.sparkSession
-    return spark.sql(f"SELECT * FROM {name}")
+    out = spark.sql(f"SELECT * FROM {name}")
+    rows, schema = out.collect(), out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def deliver_stream(

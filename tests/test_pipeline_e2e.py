@@ -221,6 +221,64 @@ def test_env_substitution_errors_on_unset():
         substitute_env("path: ${NOT_SET_VAR}", {})
 
 
+def test_failed_load_attaches_partial_run_result(spark, tmp_path, sf_dir):
+    # a failed delivery must not strand the receipts: the raised exception
+    # carries the RunResult with the earlier success AND the failure receipt
+    class FailingSftp:
+        def put(self, local, remote):
+            raise OSError("connection refused")
+
+    stream = Stream(
+        name="s",
+        sources=[{"protocol": "file", "name": "w", "path": sf_dir}],
+        destinations=[
+            {"protocol": "fileshare", "name": "share", "mount_path": str(tmp_path),
+             "remote_dir": "reports"},
+            {"protocol": "sftp", "name": "up", "host": "nowhere"},
+        ],
+        steps=[
+            ExtractStep(name="e", source="w", table="region.parquet", output="regions"),
+            LoadStep(name="ok", destination="share", input="regions",
+                     file_name="r.csv", format="csv"),
+            LoadStep(name="boom", destination="up", input="regions",
+                     file_name="r.csv", format="csv"),
+        ],
+    )
+    from data_bridge_spark.plans.runner import run_stream
+
+    with pytest.raises(RuntimeError) as ei:
+        run_stream(spark, stream, transports={"up": FailingSftp()})
+    rr = ei.value.run_result
+    assert rr.status == "failed"
+    assert [r.status for r in rr.dest_responses] == ["success", "failure"]
+    assert "connection refused" in rr.dest_responses[1].message
+
+
+def test_runner_unpersists_cached_outputs(spark, sf_dir, tmp_path):
+    # fan-out outputs are cached during the run and released afterwards
+    stream = Stream(
+        name="s",
+        sources=[{"protocol": "file", "name": "w", "path": sf_dir}],
+        destinations=[
+            {"protocol": "fileshare", "name": "share", "mount_path": str(tmp_path),
+             "remote_dir": "r"},
+        ],
+        steps=[
+            ExtractStep(name="e", source="w", table="region.parquet", output="regions"),
+            LoadStep(name="l1", destination="share", input="regions",
+                     file_name="a.csv", format="csv"),
+            LoadStep(name="l2", destination="share", input="regions",
+                     file_name="b.csv", format="csv"),
+        ],
+    )
+    from data_bridge_spark.plans.runner import StreamRunner
+
+    runner = StreamRunner(spark, stream)
+    runner.run()
+    assert runner.cached == ["regions"]
+    assert not runner.step_outputs["regions"].is_cached
+
+
 def test_collect_scalar_mode(spark, sf_dir):
     stream = Stream(
         name="s",
