@@ -99,8 +99,8 @@ def test_runner_auto_caches_fanout(spark, sf_dir):
     runner = StreamRunner(spark, stream)
     runner.run()
     assert runner.cached == ["orders"]
-    assert runner.step_outputs["orders"].is_cached
-    runner.step_outputs["orders"].unpersist()
+    # the cache is scoped to the run: released in run()'s finally block
+    assert not runner.step_outputs["orders"].is_cached
 
     # and with auto_cache off, nothing is cached
     runner2 = StreamRunner(spark, stream, auto_cache=False)
