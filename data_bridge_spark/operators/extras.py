@@ -357,17 +357,24 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_partitioned",
-    oracle=None,  # writes a partitioned dataset and reads it back → rows-only
+    # the parquet round trip preserves values exactly; the partition
+    # column reads back as string (hive layout), hence the VARCHAR cast
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(o_orderstatus AS VARCHAR) AS o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
     tags=("sink", "partitioning"),
 )
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned parquet write (partitionBy) + partition-
     pruned read-back: the layout that makes 100 TB scans selective — a
     filter on the partition column prunes directories before any I/O."""
-    import tempfile
+    from data_bridge_spark.util import tracked_tempdir
 
     t = Tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="dbs_part_") + "/orders_by_status"
+    # atexit-tracked: the returned lazy DataFrame still reads this path
+    out = tracked_tempdir("dbs_part_") + "/orders_by_status"
     t.orders.select("o_orderkey", "o_totalprice", "o_orderstatus").write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(out)
@@ -377,7 +384,12 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_csv",
-    oracle=None,  # round-trips through csv text; checked rows-only + in tests
+    # the CSV round trip stringifies every column; the oracle applies the
+    # same casts, proving the artifact preserved the joined content
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
     tags=("sink",),
 )
 def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,7 +63,19 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    oracle=None,  # chunked binary expansion via pandas batches → rows-only
+    # the corpus is pure ASCII (asserted across all SFs), so DuckDB can
+    # chunk the VARCHAR directly — char positions == byte offsets and
+    # md5(chunk-as-text) == md5(chunk bytes)
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(length(substr(text, CAST(i*64+1 AS INT), 64)) AS INTEGER) AS n_bytes,
+           md5(substr(text, CAST(i*64+1 AS INT), 64)) AS frame_md5
+    FROM src, UNNEST(range(CAST(ceil(n / 64.0) AS BIGINT))) AS t(i)
+    """,
     tags=("multimodal", "udf"),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +112,28 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_features",
-    oracle=None,  # pandas-side feature extraction → rows-only check
+    # byte-level reproduction in DuckDB: hex() the payload and parse two
+    # hex digits per byte; int sums are exact, so the final double divide
+    # matches Python's sum(payload)/n bit-for-bit
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n,
+               list_transform(range(1, n + 1), i ->
+                 (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1)) AS bytes
+        FROM src
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN n > 0 THEN bytes[1] ELSE 0 END AS INTEGER) AS first_byte,
+           CASE WHEN n > 0 THEN CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / n
+                ELSE 0.0 END AS mean_byte
+    FROM b
+    """,
     tags=("multimodal", "udf"),
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
