@@ -466,3 +466,59 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.3)
     )
+
+
+@register(
+    "dedup_embed_lsh",
+    oracle="""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               list_aggregate(list_transform(embedding[1:6],
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+           / (SQRT(list_aggregate(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * SQRT(list_aggregate(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+          / (SQRT(list_aggregate(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             * SQRT(list_aggregate(list_transform(b.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= 0.2
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection at the scale shape: sign-pattern LSH
+    buckets (random-hyperplane style) restrict the cosine check to an
+    equi-join on the bucket key — the whole-corpus version of
+    ``dedup_embed``, whose bounded block stands in for exactly this
+    candidate set. Hash-partitioned join, no cross product; recall vs
+    threshold trades off with bucket width as usual for LSH."""
+    from data_bridge_spark.functions.vectors import cosine_similarity
+    from data_bridge_spark.operators.similarity import _bucket_expr
+
+    t = Tables(spark, sf_dir)
+    sig = t.embeddings.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )

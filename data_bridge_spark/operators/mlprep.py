@@ -225,3 +225,57 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem,
     )
     return n_orders.unionByName(nulls).unionByName(orphans).unionByName(neg)
+
+
+@register(
+    "mlprep_pipeline",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 20
+          AND CAST(len(list_distinct(string_split(LOWER(text), ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.3
+    ),
+    ex AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM q GROUP BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))
+    )
+    SELECT q.doc_id, CAST(q.n_tokens AS INTEGER) AS n_tokens,
+           CASE WHEN CAST(('0x' || substr(MD5('{_SEED}' || CAST(q.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM q JOIN ex ON q.doc_id = ex.doc_id
+    """,
+    tags=("mlprep", "pipeline"),
+)
+def mlprep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data last mile as ONE lazy plan: quality gate (token
+    count + unique-token ratio) → exact dedup keep-one → deterministic
+    content-hash train/test split. Composes the individually-registered
+    stages (text_quality / dedup_exact / split_train_test) the way a real
+    corpus build chains them; Catalyst fuses the gate into the scan, the
+    dedup is one fingerprint shuffle, and the split adds zero shuffles."""
+    t = Tables(spark, sf_dir)
+    text = F.col("text")
+    tokens = F.split(text, " ")
+    lower_tokens = F.split(F.lower(text), " ")
+    gated = t.documents.filter(
+        (F.size(tokens) >= 20)
+        & (F.size(F.array_distinct(lower_tokens)).cast("double") / F.size(tokens) >= 0.3)
+    ).select("doc_id", "text", F.size(tokens).alias("n_tokens"))
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+    keep = (
+        gated.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    pct = _hash_pct(F.col("doc_id"), _SEED)
+    return (
+        gated.join(keep, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(pct < 80, "train").otherwise("test").alias("split"),
+        )
+    )

@@ -181,3 +181,54 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("content_fp"),
         F.md5(bow).alias("bow_fp"),
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_mask",
+    # the corpus itself is letters+spaces only, so a deterministic contact
+    # line (synthesized from doc_id) is appended first — the masking then
+    # provably rewrites real matches rather than no-op'ing. Patterns stay
+    # in the Java-regex ∩ RE2 common subset so both engines agree.
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or 555-'
+                    || CAST(1000 + doc_id % 9000 AS VARCHAR) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS masked,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS INTEGER) AS n_phones
+    FROM d
+    """,
+    tags=("text", "pii"),
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: mask emails and phone-shaped tokens, count the
+    hits per document — the compliance scrub every training corpus runs
+    before tokenization. Pure JVM regexp expressions (replace + extract),
+    zero shuffle, linear in bytes scanned."""
+    t = Tables(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return t.documents.select(
+        "doc_id",
+        masked.alias("masked"),
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+    )
