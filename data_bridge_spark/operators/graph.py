@@ -1,0 +1,188 @@
+"""Graph operators over the near-dup candidate graph (SURVEY.md §2C2
+extension): PageRank-style centrality and triangle counting, both as
+iterative/compositional DataFrame plans.
+
+Determinism doctrine: floating-point PageRank is NOT reproducible across
+engines (neighbor-sum order differs), so ranks are integer fixed-point —
+init/damping/contributions all use integer floor division, which is
+bit-deterministic in Spark and DuckDB alike. The oracle unrolls the same
+iterations as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.operators.dedup import _band_df, _bands_sql
+from data_bridge_spark.registry import register
+
+_SCALE = 1_000_000_000  # rank fixed-point unit
+_ITERS = 3
+_BASE = 15 * _SCALE // 100  # (1-d) * SCALE with d = 0.85
+
+
+def _edges_sql() -> str:
+    """Undirected band-graph edges, both directions, as DuckDB CTE text."""
+    return f"""
+    {_bands_sql()},
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+        FROM bands l JOIN bands r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    deg AS (SELECT src AS doc_id, COUNT(*) AS d FROM edges GROUP BY src)
+    """
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT n.doc_id,
+               {_BASE} + 85 * COALESCE(s.c, 0) // 100 AS rank
+        FROM (SELECT doc_id FROM documents) n
+        LEFT JOIN (
+            SELECT e.dst AS doc_id, SUM(p.rank // dg.d) AS c
+            FROM edges e
+            JOIN {prev} p ON p.doc_id = e.src
+            JOIN deg dg ON dg.doc_id = e.src
+            GROUP BY e.dst
+        ) s ON s.doc_id = n.doc_id
+    )
+    """
+
+
+_PAGERANK_SQL = (
+    "WITH "
+    + _edges_sql()
+    + f", r0 AS (SELECT doc_id, CAST({_SCALE} AS BIGINT) AS rank FROM documents),\n"
+    + ",".join(_pagerank_iter_sql(f"r{i}", f"r{i+1}") for i in range(_ITERS))
+    + f"""
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank_fp
+    FROM r{_ITERS}
+    """
+)
+
+
+@register(
+    "graph_pagerank",
+    oracle=_PAGERANK_SQL,
+    tags=("graph", "pagerank"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the LSH near-dup graph (damping 0.85,
+    fixed iterations): surfaces the 'template' documents sitting at the
+    center of big near-dup families — a ranking signal for which copy to
+    keep or which boilerplate to drop.
+
+    Per iteration: contributions are one join edges⋈ranks (shuffle on
+    src), one group-by on dst, one left join back to nodes — the same
+    shuffle shapes as the CC loop, O(iterations) passes, localCheckpoint
+    per round to cut lineage. Integer fixed-point keeps every engine's
+    result bit-identical (floor division instead of float sums); int64
+    headroom: a node's contribution sum is ≤ in_degree × SCALE (1e9), so
+    85×sum overflows only past in-degree ≈ 1e8 — far above any LSH-bounded
+    bucket degree; drop SCALE to 1e6 if a graph ever gets there."""
+    docs = Tables(spark, sf_dir).documents
+    bands = _band_df(docs).localCheckpoint(eager=False)
+    pairs = None
+    for b in range(2):
+        l, r = bands.alias("l"), bands.alias("r")
+        e = l.join(
+            r,
+            (F.col(f"l.band_{b}") == F.col(f"r.band_{b}"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        ).select(F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst"))
+        pairs = e if pairs is None else pairs.unionByName(e)
+    pairs = pairs.distinct()
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+
+    nodes = docs.select("doc_id")
+    ranks = nodes.select("doc_id", F.lit(_SCALE).cast("long").alias("rank"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.doc_id)
+            .select(F.col("dst"), F.expr("rank div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                (F.lit(_BASE) + F.expr("85 * coalesce(c, 0) div 100")).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("doc_id", F.col("rank").cast("long").alias("rank_fp"))
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+    WITH {_bands_sql()},
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+        WHERE l.doc_id < 100 AND r.doc_id < 100
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM corners GROUP BY doc_id
+    """,
+    tags=("graph", "triangles"),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the near-dup graph — the local
+    clustering signal that separates 'hub of one template family' (dense
+    triangles) from 'bridge between unrelated docs' (none).
+
+    Classic two-join triangle enumeration over ordered edges (a<b<c, each
+    triangle counted once), then a corner explode + group-by. Runs on a
+    bounded candidate block (doc_id < 100) standing in for one LSH
+    neighborhood; at scale the same plan runs per bucket, where LSH bounds
+    the edge density the joins see."""
+    docs = Tables(spark, sf_dir).documents
+    bands = _band_df(docs.filter(F.col("doc_id") < 100)).localCheckpoint(eager=False)
+    pairs = None
+    for b in range(2):
+        l, r = bands.alias("l"), bands.alias("r")
+        e = l.join(
+            r,
+            (F.col(f"l.band_{b}") == F.col(f"r.band_{b}"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        ).select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        pairs = e if pairs is None else pairs.unionByName(e)
+    pairs = pairs.distinct().localCheckpoint(eager=False)
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    corners = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return corners.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))

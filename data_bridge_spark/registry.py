@@ -51,6 +51,7 @@ _MODULES = (
     "data_bridge_spark.operators.analytics",
     "data_bridge_spark.operators.warehouse",
     "data_bridge_spark.operators.mlprep",
+    "data_bridge_spark.operators.graph",
 )
 
 
