@@ -45,6 +45,61 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "tier")
 
 
+_BIN_S = 2 * 86_400  # bin width == max interval length -> each interval spans <=2 bins
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 2 DAY
+    WHERE o.o_orderpriority = '1-URGENT' AND l.l_returnflag = 'R'
+    """,
+    tags=("join", "range", "scale"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large x large point-in-interval join as a *binned equi-join* — the
+    scale path ``join_range``'s docstring promises. OSS Spark has no range
+    -join optimization, so a naive interval predicate between two fact
+    tables plans a broadcast-nested-loop (O(N*M)). Instead: choose a bin
+    width >= the max interval length, explode each interval onto the <=2
+    bins it covers, map each point to its single bin, hash-join on the bin
+    key, then apply the exact interval predicate as a residual filter.
+    Each (interval, point) pair meets in at most one bin (the point's),
+    so no dedup is needed. Cost: one shuffle on `bin` + |result| residual
+    checks — survives 100x where the nested loop cannot. Low-cardinality
+    bin keys can skew; AQE skew-join splits hot bins at runtime."""
+    t = Tables(spark, sf_dir)
+
+    def binify(c):  # seconds -> bin ordinal
+        return F.floor(c / F.lit(_BIN_S))
+
+    iv = (
+        t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("lo_s"),
+            (F.unix_timestamp("o_orderdate") + _BIN_S).alias("hi_s"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(F.sequence(binify(F.col("lo_s")), binify(F.col("hi_s") - 1))),
+        )
+    )
+    pts = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", F.unix_timestamp("l_shipdate").alias("p_s"))
+        .withColumn("bin", binify(F.col("p_s")))
+    )
+    return (
+        iv.join(pts, "bin")
+        .filter((F.col("p_s") >= F.col("lo_s")) & (F.col("p_s") < F.col("hi_s")))
+        .select("o_orderkey", "l_orderkey", "l_linenumber")
+    )
+
+
 @register(
     "filter_step_param",
     oracle="""

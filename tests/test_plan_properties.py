@@ -44,6 +44,16 @@ def test_semi_and_anti_join_strategies(spark, sf_dir):
     assert "LeftAnti" in anti
 
 
+def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
+    # the binned rewrite must plan an equi-join on `bin`, never the
+    # O(N*M) BroadcastNestedLoopJoin a raw interval predicate produces
+    # equi-join on the bin key; strategy (broadcast at small SF, shuffle
+    # at scale) is Catalyst's call from stats
+    plan = plan_of(REG["join_range_binned"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join \[bin", plan)
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     # orderBy+limit must compile to TakeOrderedAndProject (per-partition
     # top-k + merge), not a global sort
