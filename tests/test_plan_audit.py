@@ -1,0 +1,40 @@
+"""Global plan-hygiene audit: every registered query's physical plan is
+checked for the anti-patterns that kill 100 TB runs — cartesian products,
+nested-loop joins, and row-at-a-time Python evaluation. Queries that use
+one *by design* are allowlisted with the reason; anything else tripping a
+flag (or an allowlisted query going clean, i.e. a stale allowlist) fails.
+This is the repo-wide version of the per-query assertions in
+test_plan_properties.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_bridge_spark.registry import load_all
+
+REG = load_all()
+
+FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+# name -> why a flagged node is the intended plan there
+ALLOW: dict[str, str] = {
+    "join_cross": "explicit tiny region x status grid (cross join by contract)",
+    "join_range": "interval join vs a 4-row literal tier table (broadcast side is O(1))",
+    "join_skew_salted": "salt replication: cross join vs a SALT-row literal range",
+    "sim_topk": "brute-force ANN baseline: broadcast probe set is bounded by design",
+    "dedup_embed": "pairwise verify on a bounded block standing in for the LSH candidate set",
+    "dedup_ngram": "pairwise Jaccard on a bounded block standing in for the LSH candidate set",
+    "skyline_pareto": "dominance anti-join on a bounded block; grid pre-partition is the scale path",
+    "udtf_expand": "the B22 Python-UDTF surface itself (BatchEvalPython is what a UDTF is)",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REG))
+def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
+    plan = REG[name].fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+    hits = [f for f in FLAGS if f in plan]
+    if name in ALLOW:
+        assert hits, f"{name} allowlisted ({ALLOW[name]}) but plans clean — drop it from ALLOW"
+    else:
+        assert not hits, f"{name} plans {hits} — not allowlisted, fix the plan or justify"
