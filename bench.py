@@ -27,6 +27,7 @@ HEADLINE = (
     "join_inner",
     "join_left",
     "join_range",
+    "join_range_binned",
     "window_rank",
     "window_running",
     "sort_topk",
