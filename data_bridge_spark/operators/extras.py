@@ -502,6 +502,59 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, dominated, "left_anti").select("p_partkey", "p_size", "p_retailprice")
 
 
+_SKY_BUCKETS = 32
+
+
+@register(
+    "skyline_grid",
+    oracle="""
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_size <= a.p_size AND b.p_retailprice <= a.p_retailprice
+          AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice)
+    )
+    """,
+    tags=("skyline", "scale"),
+)
+def skyline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed two-phase skyline over the FULL part table — the scale
+    path ``skyline_pareto``'s docstring promises. Key property: for ANY
+    partitioning of the points, the global skyline is a subset of the
+    union of per-partition skylines (a globally undominated point is
+    undominated in its own partition). So phase 1 computes local skylines
+    inside hash buckets — the dominance anti-join carries an a.grp=b.grp
+    equi-component, so it plans as a shuffled equi-join (NOT a nested
+    loop) and the quadratic term is bounded by bucket size — and phase 2
+    re-runs the dominance anti-join on the small surviving candidate set
+    only. Identical result to the naive all-pairs skyline, one bounded
+    shuffle instead of an O(N^2) block loop."""
+    t = Tables(spark, sf_dir)
+    pts = t.part.select("p_partkey", "p_size", "p_retailprice").withColumn(
+        "grp", F.pmod(F.xxhash64(F.col("p_partkey")), F.lit(_SKY_BUCKETS))
+    )
+
+    def undominated(df: DataFrame, bucket_local: bool) -> DataFrame:
+        a, b = df.alias("a"), df.alias("b")
+        cond = (
+            (F.col("b.p_size") <= F.col("a.p_size"))
+            & (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+            & (
+                (F.col("b.p_size") < F.col("a.p_size"))
+                | (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
+            )
+        )
+        if bucket_local:
+            cond = (F.col("a.grp") == F.col("b.grp")) & cond
+        return a.join(b, cond, "left_anti")
+
+    local = undominated(pts, bucket_local=True)
+    return undominated(local, bucket_local=False).select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+
+
 @register(
     "udtf_expand",
     oracle="""

@@ -25,7 +25,8 @@ ALLOW: dict[str, str] = {
     "sim_topk": "brute-force ANN baseline: broadcast probe set is bounded by design",
     "dedup_embed": "pairwise verify on a bounded block standing in for the LSH candidate set",
     "dedup_ngram": "pairwise Jaccard on a bounded block standing in for the LSH candidate set",
-    "skyline_pareto": "dominance anti-join on a bounded block; grid pre-partition is the scale path",
+    "skyline_pareto": "dominance anti-join on a bounded block; skyline_grid is the scale path",
+    "skyline_grid": "phase-2 dominance join runs only on the small union of local skylines",
     "udtf_expand": "the B22 Python-UDTF surface itself (BatchEvalPython is what a UDTF is)",
 }
 
