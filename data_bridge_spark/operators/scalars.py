@@ -187,7 +187,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(l_orderkey AS INTEGER) AS order_id,
            CAST(l_linenumber AS BIGINT) AS line_no,
-           CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
            CAST(l_shipdate AS DATE) AS ship_day,
            CAST(l_returnflag AS VARCHAR) AS flag
     FROM lineitem
@@ -198,7 +198,15 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cast_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-map casting (reference extractor.py:104,122-206): the
     OpenEdge dtype dictionary re-targeted at Spark types; numeric becomes
-    exact DecimalType rather than the reference's boxed object."""
+    exact DecimalType rather than the reference's boxed object.
+
+    The DecimalType(18,2) cast is the operator under test, but the
+    comparison column is re-emitted as DOUBLE on both engines: Spark and
+    DuckDB render the *same* decimal value through different client types
+    (``Decimal('23.00')`` vs float64), so any value hash over the raw
+    decimal diverges while the values agree (r1/r2 driver red row).  The
+    quantities are integral (x.00), so the double round-trip is exact.
+    """
     t = Tables(spark, sf_dir)
     projected = t.lineitem.filter(F.col("l_orderkey") <= 2000).select(
         F.col("l_orderkey").alias("order_id"),
@@ -207,7 +215,7 @@ def cast_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").alias("ship_day"),
         F.col("l_returnflag").alias("flag"),
     )
-    return apply_cast_map(
+    casted = apply_cast_map(
         projected,
         {
             "order_id": "integer",
@@ -217,6 +225,7 @@ def cast_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag": "varchar",
         },
     )
+    return casted.withColumn("qty", F.col("qty").cast("double"))
 
 
 @register(
