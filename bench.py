@@ -88,13 +88,16 @@ def main() -> None:
     for name in HEADLINE:
         registry[name].fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
 
-    # two timed runs, keep the min: the local machine is shared/noisy and
-    # a single sample can be 2x off; min-of-2 reports engine capability
+    # timed runs, keep the min: the local machine is shared/noisy and a
+    # single sample can be 2x off; min-of-n reports engine capability.
+    # Sub-second queries get extra samples — at that scale scheduler
+    # jitter is ±0.15 s, which min-of-2 doesn't filter (the r2 bench's
+    # one "regression", text_quality +0.14 s, was exactly this).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        samples = []
-        for _ in range(2):
+        samples: list[float] = []
+        while len(samples) < 2 or (min(samples) < 1.0 and len(samples) < 4):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import datetime as dt
 import re
+import uuid
 from collections.abc import Callable, Mapping
 from typing import Any
 
@@ -76,12 +77,20 @@ def sql_literal(value: Any, dialect: str = "ansi") -> str:
     false), so for ``dialect="spark"`` a value ending in ``\\`` or
     containing ``\\'`` would otherwise render malformed — or injectable,
     since ``step:`` params carry collected *data* values. The ``"spark"``
-    dialect therefore doubles backslashes before quoting.
+    dialect therefore doubles backslashes before quoting; ``"backslash"``
+    is the same escaping for JDBC backends with backslash-escaped string
+    literals (MySQL/MariaDB default mode) — see ``SourceSql.dialect``.
     """
     if value is None:
         return "NULL"
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
+    if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
+        # repr() would yield bare `inf`/`nan`, which neither Spark nor
+        # DuckDB parses as a literal — and step: params carry data-derived
+        # floats, so non-finites do reach this path.
+        token = "NaN" if value != value else ("Infinity" if value > 0 else "-Infinity")
+        return f"CAST('{token}' AS DOUBLE)"
     if isinstance(value, (int, float)):
         return repr(value)
     if isinstance(value, dt.datetime):
@@ -95,7 +104,7 @@ def sql_literal(value: Any, dialect: str = "ansi") -> str:
             return "NULL"
         return ", ".join(sql_literal(v, dialect) for v in value)
     s = str(value)
-    if dialect == "spark":
+    if dialect in ("spark", "backslash"):
         s = s.replace("\\", "\\\\")
     s = s.replace("'", "''")
     return f"'{s}'"
@@ -183,12 +192,23 @@ def spark_sql_with_params(
     SQL string, and the values ride an Arrow batch instead of SQL text.
     """
     resolved = resolve_params(params or {}, step_outputs)
+    referenced = set(_PLACEHOLDER.findall(sql))
     views: dict[str, str] = {}
+    view_names: list[str] = []
+    # views only for oversize list params whose placeholder actually
+    # appears in the template; unique-suffixed so concurrent queries in
+    # one session can't collide, and dropped after spark.sql() returns
+    # (the analyzed plan no longer needs the catalog entry).
     for key, value in resolved.items():
-        if isinstance(value, (list, tuple)) and len(value) > max_inline_list:
-            view = f"__param_{key}"
-            spark.createDataFrame([(v,) for v in value], f"__{key} {_spark_type(value[0])}")\
+        if (
+            key in referenced
+            and isinstance(value, (list, tuple))
+            and len(value) > max_inline_list
+        ):
+            view = f"__param_{key}_{uuid.uuid4().hex[:12]}"
+            spark.createDataFrame([(v,) for v in value], f"__{key} {_spark_list_type(key, value)}")\
                 .createOrReplaceTempView(view)
+            view_names.append(view)
             views[key] = f"SELECT __{key} FROM {view}"
 
     def sub(match: re.Match[str]) -> str:
@@ -199,10 +219,27 @@ def spark_sql_with_params(
             return views[key]
         return sql_literal(resolved[key], "spark")
 
-    return spark.sql(_PLACEHOLDER.sub(sub, sql))
+    try:
+        return spark.sql(_PLACEHOLDER.sub(sub, sql))
+    finally:
+        for view in view_names:
+            spark.catalog.dropTempView(view)
 
 
-def _spark_type(sample: Any) -> str:
+def _spark_list_type(key: str, values: list | tuple) -> str:
+    """Spark SQL type for a list param's view column, inferred from the
+    first non-None element; heterogeneous lists raise instead of silently
+    mistyping the semi-join key (a string-typed view column against a
+    bigint fact key would change join semantics, not error)."""
+    types = {type(v) for v in values if v is not None}
+    if not types:
+        raise ValueError(f"list param {key!r} is entirely NULL — cannot infer a column type")
+    if len(types) > 1:
+        raise ValueError(
+            f"list param {key!r} mixes types {sorted(t.__name__ for t in types)} — "
+            "cast the values to one type before binding"
+        )
+    sample = next(v for v in values if v is not None)
     if isinstance(sample, bool):
         return "boolean"
     if isinstance(sample, int):
@@ -213,4 +250,6 @@ def _spark_type(sample: Any) -> str:
         return "timestamp"
     if isinstance(sample, dt.date):
         return "date"
-    return "string"
+    if isinstance(sample, str):
+        return "string"
+    raise TypeError(f"list param {key!r}: unsupported element type {type(sample).__name__}")

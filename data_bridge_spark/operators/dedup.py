@@ -99,6 +99,103 @@ def _bands_sql(src: str = "documents") -> str:
     )
 
 
+# Oversized-bucket guard: an LSH bucket of b near-identical docs (mass
+# boilerplate) expands to O(b²) candidate pairs — the one quadratic term
+# in the pipeline (the sf0.1 corpus has a degenerate 1.8k-doc bucket →
+# ~1.6M pairs from a single bucket; a 100 TB boilerplate-heavy corpus has
+# worse). Above the cap we emit a STAR instead: bucket-min → each other
+# member, O(b) edges. For connected-components dedup this is lossless —
+# a clique and a star over the same member set have identical components
+# — and for pair *verification* the lost in-bucket pairs are exactly the
+# ones LSH already vouches for hardest (every member shares a full band
+# with the hub). Recall trade-off documented in SCALE.md.
+_BUCKET_CAP = 64
+
+
+def _bands_long(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — one row per doc per LSH band."""
+    sig = docs.select("doc_id", *_minhash_cols())
+    rows_per_band = _N_HASHES // _BANDS
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                        )
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
+    """Distinct LSH candidate pairs (id_a < id_b) with the oversized-
+    bucket star guard.
+
+    The band table is localCheckpoint'd after the bucket-stats window so
+    the k minhashes and the window run once, not once per join side; the
+    per-bucket count/min share one shuffle on the band key, and the
+    small-bucket self-join re-shuffles only checkpointed band rows (AQE
+    splits whatever skew remains under the cap). Shared by
+    dedup_minhash_pairs, the CC labeler, and operators/graph.py so the
+    Spark side and every oracle derive edges from one definition."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash")
+    sized = (
+        _bands_long(docs)
+        .select(
+            "doc_id",
+            "band_idx",
+            "band_hash",
+            F.count(F.lit(1)).over(w).alias("bsz"),
+            F.min("doc_id").over(w).alias("bmin"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    small = sized.filter(F.col("bsz") <= cap)
+    l, r = small.alias("l"), small.alias("r")
+    pairs_small = l.join(
+        r,
+        (F.col("l.band_idx") == F.col("r.band_idx"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+    pairs_star = sized.filter(
+        (F.col("bsz") > cap) & (F.col("doc_id") != F.col("bmin"))
+    ).select(F.col("bmin").alias("id_a"), F.col("doc_id").alias("id_b"))
+    return pairs_small.unionByName(pairs_star).distinct()
+
+
+def _pairs_sql(cap: int = _BUCKET_CAP) -> str:
+    """DuckDB CTE text (expects a ``bands`` CTE in scope) computing the
+    same capped candidate-pair set as :func:`lsh_candidate_pairs`; the
+    final CTE is named ``cand`` with columns (id_a, id_b)."""
+    return f"""sized AS (
+        SELECT doc_id, band_idx, band_hash,
+               COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz,
+               MIN(doc_id) OVER (PARTITION BY band_idx, band_hash) AS bmin
+        FROM bands
+    ),
+    cand AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM sized l JOIN sized r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+        WHERE l.bsz <= {cap}
+        UNION
+        SELECT bmin AS id_a, doc_id AS id_b
+        FROM sized
+        WHERE bsz > {cap} AND doc_id <> bmin
+    )"""
+
+
 @register(
     "dedup_minhash",
     oracle=f"""
@@ -119,59 +216,29 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_pairs",
     oracle=f"""
-    WITH {_bands_sql()}
-    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-    FROM bands l JOIN bands r
-      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    WITH {_bands_sql()},
+    {_pairs_sql()}
+    SELECT id_a, id_b FROM cand
     """,
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: hash the signature into bands, group docs by
     (band_index, band_hash) bucket, emit candidate near-dup pairs within
-    each bucket.
+    each bucket — with the oversized-bucket star guard (buckets past
+    ``_BUCKET_CAP`` contribute hub→member edges, O(b) not O(b²); see
+    :func:`lsh_candidate_pairs`).
 
     The band table (doc_id, band_idx, band_hash — a few dozen bytes/row,
     tiny next to the documents it summarizes) is localCheckpoint'd so the
     k minhashes are computed once, not once per join side; the self-join
-    then shuffles only checkpointed band rows, and AQE's skew-join splits
-    hot buckets (the synthetic corpus has a 1.8k-doc bucket vs avg 5 —
-    in-bucket pair expansion would serialize exactly there). Bounded
-    bucket sizes keep the quadratic blowup local, the scale property LSH
-    exists for. At cluster scale, swap localCheckpoint for a persisted
-    signature table (see SCALE.md)."""
+    then shuffles only checkpointed band rows, and the guard bounds the
+    in-bucket pair expansion that AQE skew-splitting alone cannot shrink
+    (the sf0.1 corpus has a degenerate 1.8k-doc bucket vs avg 5 → ~1.6M
+    pairs from one bucket without the guard). At cluster scale, swap
+    localCheckpoint for a persisted signature table (see SCALE.md)."""
     t = Tables(spark, sf_dir)
-    sig = t.documents.select("doc_id", *_minhash_cols())
-    rows_per_band = _N_HASHES // _BANDS
-    bands = (
-        sig.select(
-            "doc_id",
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        )
-                    )
-                    for b in range(_BANDS)
-                ]
-            ).alias("band_hashes"),
-        )
-        .select("doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash"))
-        .localCheckpoint(eager=False)
-    )
-    left = bands.alias("l")
-    right = bands.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .distinct()
-    )
+    return lsh_candidate_pairs(t.documents)
 
 
 @register(
@@ -300,8 +367,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round propagates the smaller label across candidate edges until
     no label changes. Each iteration is two hash joins + a group-by —
     all shuffle-partitionable; iterations are O(graph diameter), and at
-    100 TB the same loop runs with checkpointing per round (done here via
-    localCheckpoint to cut lineage growth).
+    100 TB the same loop runs with checkpointing per round (localCheckpoint
+    here; pass checkpoint_dir for durable checkpoint()).
+
+    Note the oracle intentionally derives edges from the UNCAPPED
+    all-pairs band graph while the Spark side runs the capped star-guard
+    graph (lsh_candidate_pairs): a clique and its star have identical
+    connected components, so a green row here proves the guard is
+    lossless for clustering — not just self-consistent.
     """
     docs = Tables(spark, sf_dir).documents
     labels = _lsh_cc_labels(docs)
@@ -310,54 +383,47 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_df(docs: DataFrame) -> DataFrame:
-    """doc_id + one band-hash column per LSH band (band_0..band_{B-1})."""
-    sig = docs.select("doc_id", *_minhash_cols())
-    rows_per_band = _N_HASHES // _BANDS
-    return sig.select(
-        "doc_id",
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            ).alias(f"band_{b}")
-            for b in range(_BANDS)
-        ],
-    )
-
-
-def _lsh_cc_labels(docs: DataFrame) -> DataFrame:
-    """(doc_id, label) via min-label propagation over LSH band edges.
+def _lsh_cc_labels(
+    docs: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iters: int = 30,
+) -> DataFrame:
+    """(doc_id, label) via min-label propagation over LSH candidate edges
+    (:func:`lsh_candidate_pairs` — capped buckets; the star fallback
+    preserves components exactly, so labels are identical to the
+    uncapped graph's).
 
     Each iteration is two hash joins + a group-by — all shuffle-
-    partitionable; iterations are O(graph diameter), with localCheckpoint
-    per round to cut lineage (checkpoint() to durable storage is the
-    cluster-scale swap, see SCALE.md).
+    partitionable; iterations are O(graph diameter). Per-round
+    checkpointing cuts lineage: ``localCheckpoint`` (executor-local,
+    fast) by default, or pass ``checkpoint_dir`` to use durable
+    ``checkpoint()`` to shared storage — the cluster-scale option that
+    survives executor loss (SCALE.md). Raises if the loop exhausts
+    ``max_iters`` without converging: a component with diameter >
+    max_iters would otherwise return silently wrong labels while the
+    recursive-CTE oracle computes the true closure.
     """
-    # checkpoint the small band table: the per-band self-joins below would
-    # otherwise recompute every minhash signature 2x per band
-    bands = _band_df(docs).localCheckpoint(eager=False)
-    # undirected edges from shared band buckets
-    edges = None
-    for b in range(_BANDS):
-        l, r = bands.alias("l"), bands.alias("r")
-        e = (
-            l.join(r, (F.col(f"l.band_{b}") == F.col(f"r.band_{b}")) & (F.col("l.doc_id") < F.col("r.doc_id")))
-            .select(F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst"))
-        )
-        edges = e if edges is None else edges.unionByName(e)
-    edges = edges.distinct().localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
+
+    edges = ckpt(
+        lsh_candidate_pairs(docs).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
     both = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
-    labels = bands.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(30):  # diameter bound; runs to fixpoint (early-exit below)
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    changed = -1
+    for _ in range(max_iters):
         neighbor_min = (
             both.join(labels, both.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
+        updated = ckpt(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
@@ -365,7 +431,6 @@ def _lsh_cc_labels(docs: DataFrame) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             updated.alias("u")
@@ -377,6 +442,11 @@ def _lsh_cc_labels(docs: DataFrame) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} iterations "
+            "(component diameter exceeds the bound); raise max_iters"
+        )
     return labels
 
 

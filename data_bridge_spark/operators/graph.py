@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
-from data_bridge_spark.operators.dedup import _band_df, _bands_sql
+from data_bridge_spark.operators.dedup import _bands_sql, _pairs_sql, lsh_candidate_pairs
 from data_bridge_spark.registry import register
 
 _SCALE = 1_000_000_000  # rank fixed-point unit
@@ -24,17 +24,19 @@ _BASE = 15 * _SCALE // 100  # (1-d) * SCALE with d = 0.85
 
 
 def _edges_sql() -> str:
-    """Undirected band-graph edges, both directions, as DuckDB CTE text."""
+    """Undirected band-graph edges, both directions, as DuckDB CTE text.
+
+    Derives the pair set from dedup._pairs_sql — the same capped
+    star-guard definition lsh_candidate_pairs uses on the Spark side —
+    so rank/triangle structure (which, unlike connected components, DOES
+    depend on the exact edge set) stays engine-identical by construction
+    even if the banding or cap constants change."""
     return f"""
     {_bands_sql()},
-    pairs AS (
-        SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
-        FROM bands l JOIN bands r
-          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-             AND l.doc_id < r.doc_id
-    ),
+    {_pairs_sql()},
     edges AS (
-        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+        SELECT id_a AS src, id_b AS dst FROM cand
+        UNION ALL SELECT id_b, id_a FROM cand
     ),
     deg AS (SELECT src AS doc_id, COUNT(*) AS d FROM edges GROUP BY src)
     """
@@ -89,17 +91,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     85×sum overflows only past in-degree ≈ 1e8 — far above any LSH-bounded
     bucket degree; drop SCALE to 1e6 if a graph ever gets there."""
     docs = Tables(spark, sf_dir).documents
-    bands = _band_df(docs).localCheckpoint(eager=False)
-    pairs = None
-    for b in range(2):
-        l, r = bands.alias("l"), bands.alias("r")
-        e = l.join(
-            r,
-            (F.col(f"l.band_{b}") == F.col(f"r.band_{b}"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        ).select(F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst"))
-        pairs = e if pairs is None else pairs.unionByName(e)
-    pairs = pairs.distinct()
+    pairs = lsh_candidate_pairs(docs).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
@@ -129,14 +123,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangles",
     oracle=f"""
-    WITH {_bands_sql()},
-    pairs AS (
-        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        FROM bands l JOIN bands r
-          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-             AND l.doc_id < r.doc_id
-        WHERE l.doc_id < 100 AND r.doc_id < 100
-    ),
+    WITH blk AS (SELECT * FROM documents WHERE doc_id < 100),
+    {_bands_sql(src="blk")},
+    {_pairs_sql()},
+    pairs AS (SELECT id_a AS a, id_b AS b FROM cand),
     tri AS (
         SELECT e1.a, e1.b, e2.b AS c
         FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
@@ -161,19 +151,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle counted once), then a corner explode + group-by. Runs on a
     bounded candidate block (doc_id < 100) standing in for one LSH
     neighborhood; at scale the same plan runs per bucket, where LSH bounds
-    the edge density the joins see."""
+    the edge density the joins see. Edges come from the shared capped
+    pair definition (lsh_candidate_pairs) computed over the SAME filtered
+    block on both engines — bucket sizes, and therefore the star guard's
+    behavior, depend on the doc set, so the filter must precede banding."""
     docs = Tables(spark, sf_dir).documents
-    bands = _band_df(docs.filter(F.col("doc_id") < 100)).localCheckpoint(eager=False)
-    pairs = None
-    for b in range(2):
-        l, r = bands.alias("l"), bands.alias("r")
-        e = l.join(
-            r,
-            (F.col(f"l.band_{b}") == F.col(f"r.band_{b}"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        ).select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        pairs = e if pairs is None else pairs.unionByName(e)
-    pairs = pairs.distinct().localCheckpoint(eager=False)
+    pairs = (
+        lsh_candidate_pairs(docs.filter(F.col("doc_id") < 100))
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))

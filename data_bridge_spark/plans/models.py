@@ -36,6 +36,12 @@ class SourceSql(BaseModel):
     driver: str = ""
     user: str = ""
     password: str = ""
+    # SQL-literal rendering dialect for pushdown params: "ansi" for
+    # standard-conforming backends (Derby, Postgres, DuckDB), "backslash"
+    # for backends whose string literals process backslash escapes by
+    # default (MySQL/MariaDB) — on those, an ansi-rendered value ending in
+    # \ or containing \' breaks out of the quoted literal.
+    dialect: Literal["ansi", "backslash"] = "ansi"
 
 
 class SourceFile(BaseModel):

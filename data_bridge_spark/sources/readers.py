@@ -62,8 +62,14 @@ def read_jdbc(
     escape hatch on a remote DB, and an unbounded IN-list blows up both
     the driver string and the remote parser. Stage oversize key sets to
     the cluster and join_semi instead.
+
+    Literal rendering follows ``src.dialect`` — "backslash" for backends
+    (MySQL/MariaDB) whose string literals process backslash escapes, so
+    data-carrying params can't break out of their quotes there either.
     """
-    rendered = render_sql(query, params or {}, step_outputs, dialect="ansi")
+    rendered = render_sql(
+        query, params or {}, step_outputs, dialect=getattr(src, "dialect", "ansi")
+    )
     reader = (
         spark.read.format("jdbc")
         .option("url", src.url)

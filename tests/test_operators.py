@@ -76,3 +76,100 @@ def test_mm_features_schema_and_determinism(spark, sf_dir):
     # byte length must equal utf-8 length of the text payload
     for doc_id, text in list(docs.items())[:20]:
         assert rows[doc_id].n_bytes == len(text.encode("utf-8"))
+
+
+def test_lsh_bucket_guard_star_fallback(spark, sf_dir):
+    """Buckets past the cap must contribute O(b) star edges, not O(b^2)
+    pairs, and the guard must not change connected components: labels
+    from the capped graph equal labels from an effectively-uncapped one."""
+    from data_bridge_spark.catalog import Tables
+    from data_bridge_spark.operators.dedup import _lsh_cc_labels, lsh_candidate_pairs
+
+    docs = Tables(spark, sf_dir).documents
+    capped = lsh_candidate_pairs(docs, cap=2)
+    uncapped = lsh_candidate_pairs(docs, cap=1_000_000_000)
+    assert capped.count() < uncapped.count()
+    # every capped pair is ordered and unique
+    assert capped.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+    def components(pairs, nodes):
+        import itertools
+
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in itertools.chain(pairs.collect()):
+            ra, rb = find(r.id_a), find(r.id_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    nodes = [r.doc_id for r in docs.select("doc_id").collect()]
+    assert components(capped, nodes) == components(uncapped, nodes)
+
+
+def test_cc_durable_checkpoint_matches_local(spark, sf_dir, tmp_path):
+    """The checkpoint_dir knob (durable checkpoint() instead of
+    localCheckpoint) must not change labels."""
+    from data_bridge_spark.catalog import Tables
+    from data_bridge_spark.operators.dedup import _lsh_cc_labels
+
+    docs = Tables(spark, sf_dir).documents
+    local = {(r.doc_id, r.label) for r in _lsh_cc_labels(docs).collect()}
+    durable = {
+        (r.doc_id, r.label)
+        for r in _lsh_cc_labels(docs, checkpoint_dir=str(tmp_path / "ckpt")).collect()
+    }
+    assert local == durable
+    # the durable run actually wrote checkpoint data
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt"))
+
+
+def test_cc_nonconvergence_raises(spark, sf_dir):
+    """A max_iters bound smaller than the graph diameter must raise, not
+    return silently wrong labels."""
+    import pytest
+
+    from data_bridge_spark.catalog import Tables
+    from data_bridge_spark.operators.dedup import _lsh_cc_labels
+
+    docs = Tables(spark, sf_dir).documents
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _lsh_cc_labels(docs, max_iters=1)
+
+
+def test_percentile_approx_within_exact_bounds(spark, sf_dir):
+    """The sketch is rows-only for the oracle (engine-specific estimates),
+    but its estimates must bracket sanely: p50 within the exact [p25, p75]
+    band and p99 within [p75, max], per group — converts 'runs' into
+    'verified sane'."""
+    approx = {r.l_returnflag: r for r in run("agg_percentile_approx", spark, sf_dir).collect()}
+    exact = {
+        r.l_returnflag: r
+        for r in Tables_lineitem(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert float(e.p25) <= float(a.p50_price) <= float(e.p75), flag
+        assert float(e.p75) <= float(a.p99_price) <= float(e.mx), flag
+
+
+def Tables_lineitem(spark, sf_dir):
+    from data_bridge_spark.catalog import Tables
+
+    return Tables(spark, sf_dir).lineitem

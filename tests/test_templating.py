@@ -117,3 +117,60 @@ def test_spark_sql_with_params_flips_to_semijoin(spark):
     assert sorted(r.k for r in flipped.collect()) == keep
     # the flipped plan is a real semi-join, not a rendered IN-list
     assert "LeftSemi" in flipped._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_nonfinite_floats_render_as_valid_sql(spark):
+    from data_bridge_spark.functions.templating import sql_literal
+
+    assert sql_literal(float("inf")) == "CAST('Infinity' AS DOUBLE)"
+    assert sql_literal(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
+    assert sql_literal(float("nan")) == "CAST('NaN' AS DOUBLE)"
+    # both engines parse the rendered literal
+    import duckdb
+    import math
+
+    assert math.isinf(spark.sql(f"SELECT {sql_literal(float('inf'))} AS v").collect()[0].v)
+    assert math.isinf(duckdb.sql(f"SELECT {sql_literal(float('inf'))} AS v").fetchone()[0])
+    assert math.isnan(spark.sql(f"SELECT {sql_literal(float('nan'))} AS v").collect()[0].v)
+
+
+def test_oversize_view_lifecycle_and_unreferenced_param(spark):
+    """Views are made only for placeholders the SQL references, get unique
+    names (no cross-query collision), and are dropped after planning."""
+    rows = spark.range(50).selectExpr("id AS k")
+    rows.createOrReplaceTempView("__tmpl_t2")
+    keep = [int(i) for i in range(0, 50, 2)]
+    before = {t.name for t in spark.catalog.listTables()}
+    df = spark_sql_with_params(
+        spark,
+        "SELECT k FROM __tmpl_t2 WHERE k IN (::ks::)",
+        {"ks": keep, "unused_big": list(range(100))},
+        max_inline_list=10,
+    )
+    after = {t.name for t in spark.catalog.listTables()}
+    assert after == before  # every __param_* view dropped, none for unused_big
+    assert sorted(r.k for r in df.collect()) == keep  # plan survives the drop
+    # two concurrent renders don't collide on view names
+    df2 = spark_sql_with_params(
+        spark, "SELECT k FROM __tmpl_t2 WHERE k IN (::ks::)", {"ks": keep[:10] }, max_inline_list=5
+    )
+    assert sorted(r.k for r in df2.collect()) == keep[:10]
+
+
+def test_list_param_type_inference_guards():
+    from data_bridge_spark.functions.templating import _spark_list_type
+
+    assert _spark_list_type("x", [None, 3, 4]) == "bigint"  # first non-None wins
+    assert _spark_list_type("x", ["a", None]) == "string"
+    with pytest.raises(ValueError, match="entirely NULL"):
+        _spark_list_type("x", [None, None])
+    with pytest.raises(ValueError, match="mixes types"):
+        _spark_list_type("x", [1, "a"])
+
+
+def test_jdbc_dialect_backslash_escaping():
+    from data_bridge_spark.functions.templating import sql_literal
+
+    hostile = "O'Brien\\"
+    assert sql_literal(hostile, "ansi") == "'O''Brien\\'"
+    assert sql_literal(hostile, "backslash") == "'O''Brien\\\\'"
