@@ -35,6 +35,8 @@ HEADLINE = (
     "dedup_exact",
     "dedup_minhash",
     "dedup_minhash_pairs",
+    "dedup_verified_pairs",
+    "text_chunks",
     "sim_topk",
     "text_quality",
     "win_session",

@@ -1,0 +1,432 @@
+"""Round-3 coverage widening: verified fuzzy dedup, token chunking,
+exact-sum correlation, deterministic mode, ntile, nearest-asof, and
+cosine range search.
+
+Same doctrine as every other module: JVM-side expressions only, shuffle
+shapes that hold at 100 TB, and a DuckDB oracle per query (determinism
+via exact decimal sums and total tie-break orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.functions.vectors import cosine_similarity
+from data_bridge_spark.operators.dedup import _bands_sql, _pairs_sql, lsh_candidate_pairs
+from data_bridge_spark.registry import register
+
+
+@register(
+    "dedup_verified_pairs",
+    oracle=f"""
+    WITH {_bands_sql()},
+    {_pairs_sql()}
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_filter(
+                    list_distinct(string_split(LOWER(a.text), ' ')),
+                    w -> list_contains(list_distinct(string_split(LOWER(b.text), ' ')), w)
+                )) AS DOUBLE)
+           / len(list_distinct(string_split(LOWER(a.text), ' ')
+                 || string_split(LOWER(b.text), ' '))) AS jaccard
+    FROM cand c
+    JOIN documents a ON a.doc_id = c.id_a
+    JOIN documents b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_filter(
+                  list_distinct(string_split(LOWER(a.text), ' ')),
+                  w -> list_contains(list_distinct(string_split(LOWER(b.text), ' ')), w)
+              )) AS DOUBLE)
+          / len(list_distinct(string_split(LOWER(a.text), ' ')
+                || string_split(LOWER(b.text), ' '))) >= 0.5
+    """,
+    tags=("dedup", "minhash", "verify"),
+)
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate→verify stage of production fuzzy dedup as one plan:
+    LSH candidate pairs (capped buckets, see lsh_candidate_pairs) joined
+    back to the corpus and kept only where exact token-set Jaccard ≥ 0.5.
+
+    This is the composition dedup_minhash_pairs + dedup_ngram individually
+    demonstrate: the O(N²) Jaccard verification runs ONLY on the LSH
+    candidate set (equi-joins on doc_id to fetch the two token sets — at
+    100 TB the fetch shuffles candidate ids against the corpus, never
+    pairs × corpus), so verification cost is O(candidates), the LSH
+    contract."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("words")
+    )
+    pairs = lsh_candidate_pairs(t.documents)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("words").alias("words_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("words").alias("words_b"))
+    inter = F.size(F.array_intersect(F.col("words_a"), F.col("words_b")))
+    union = F.size(F.array_union(F.col("words_a"), F.col("words_b")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+_CHUNK, _STRIDE = 32, 24  # token window / step (25% overlap)
+
+
+@register(
+    "text_chunks",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    e AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS s
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(s // {_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(len(toks[s + 1 : s + {_CHUNK}]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(toks[s + 1 : s + {_CHUNK}], ' ') AS chunk_text
+    FROM e
+    """,
+    tags=("text", "mlprep", "chunk"),
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the context-length splitter
+    every LLM training pipeline runs before tokenization (window=32,
+    stride=24 here). Pure per-row array expressions: split once, generate
+    the start offsets with `sequence`, explode, slice — zero shuffle,
+    zero Python, linear in corpus size. Chunk boundaries are token
+    offsets, so the op is deterministic and oracle-checkable."""
+    t = Tables(spark, sf_dir)
+    starts = F.sequence(F.lit(0), F.size(F.col("toks")) - 1, F.lit(_STRIDE))
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, _CHUNK)
+    return (
+        t.documents.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / _STRIDE).cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sq,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sp,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                             * CAST(l_extendedprice AS DECIMAL(19,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sqp,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                             * CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sqq,
+               CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+                                   * CAST(l_extendedprice AS DECIMAL(19,2))), 0)
+                         AS DECIMAL(38,0)) AS DOUBLE) AS spp
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sqp - sq * sp)
+           / (SQRT(n * sqq - sq * sq) * SQRT(n * spp - sp * sp)) AS qty_price_corr
+    FROM s
+    """,
+    tags=("agg", "stats", "corr"),
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from exact decimal power sums — the
+    deterministic form of CORR (the built-in streaming estimator has
+    partition-order-dependent low bits; exact integer sums make every
+    re-run and AQE re-plan bit-identical). One shuffle, map-side partial
+    aggregation, same cost shape as agg_stats.
+
+    Two determinism devices beyond agg_stats: (1) prices multiply at
+    DECIMAL(19,2) — precision 19 forces DuckDB's int128 product class
+    (the int64 class overflows on price², observed at (15,x)), while
+    19+19 = 38 keeps Spark's product exact with no precision-loss
+    rescale; (2) every sum collapses to a decimal whose unscaled value
+    stays under 2^53 before the double cast — DuckDB converts wider
+    decimals to double with TWO roundings (functions/exact.py), which
+    cost the first draft its last ulp. Collapse casts must also not
+    DROP nonzero digits: DuckDB truncates on decimal downcast while
+    Spark rounds HALF_UP, so every scale here keeps all real decimal
+    places (quantities are integral, money is 2 dp) — except price²'s
+    4 dp, which both sides round identically with an explicit ROUND
+    (half-away-from-zero in both engines) before the cast. Unscaled
+    bounds hold through sf1 (spp ≈ 7.1e15 < 2^53)."""
+    t = Tables(spark, sf_dir)
+    q6 = F.col("l_quantity").cast("decimal(18,6)")
+    p2 = F.col("l_extendedprice").cast("decimal(19,2)")
+    n = F.count(F.lit(1))
+    sum_q = F.sum(q6).cast("decimal(38,2)").cast("double")
+    sum_p = F.sum(p2).cast("decimal(38,2)").cast("double")
+    sum_qp = F.sum(q6 * p2).cast("decimal(38,2)").cast("double")
+    sum_qq = F.sum(q6 * q6).cast("decimal(38,2)").cast("double")
+    sum_pp = F.round(F.sum(p2 * p2), 0).cast("decimal(38,0)").cast("double")
+    corr = (n * sum_qp - sum_q * sum_p) / (
+        F.sqrt(n * sum_qq - sum_q * sum_q) * F.sqrt(n * sum_pp - sum_p * sum_p)
+    )
+    return t.lineitem.groupBy("l_returnflag").agg(
+        n.alias("n"), corr.alias("qty_price_corr")
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    ranked AS (
+        SELECT c_mktsegment, c_nationkey, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment ORDER BY n DESC, c_nationkey ASC
+               ) AS rn
+        FROM counts
+    )
+    SELECT c_mktsegment, c_nationkey AS modal_nation, n AS n_customers
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: most frequent value per group with a total
+    tie-break (smallest value wins) — the built-in `mode` aggregate picks
+    an arbitrary tied value, which can't be oracle-checked. Count + one
+    window over the (tiny) per-group count table; the wide shuffle is on
+    the counts, not the rows."""
+    t = Tables(spark, sf_dir)
+    counts = t.customer.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n"), F.asc("c_nationkey"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("c_nationkey").alias("modal_nation"), F.col("n").alias("n_customers"))
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(NTILE(4) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+           ) AS INTEGER) AS balance_quartile
+    FROM customer
+    """,
+    tags=("window", "ntile"),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles per segment (customer-value banding). The order
+    carries a c_custkey tiebreak so equal balances land in the same tile
+    on every engine — untied NTILE is nondeterministic. One exchange on
+    the partition key, like every other window op."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return t.customer.select(
+        "c_custkey", "c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("balance_quartile")
+    )
+
+
+@register(
+    "asof_nearest",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN ts END AS p_ts
+        FROM events
+    ),
+    walked AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(p_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_p,
+               first_value(p_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_p
+        FROM tagged
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN next_p IS NULL THEN prev_p
+                WHEN prev_p IS NULL THEN next_p
+                WHEN date_diff('microseconds', prev_p, ts)
+                     <= date_diff('microseconds', ts, next_p) THEN prev_p
+                ELSE next_p END AS nearest_purchase_ts
+    FROM walked
+    WHERE event_type = 'click'
+    """,
+    tags=("events", "asof"),
+)
+def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of: each click matched to its temporally
+    CLOSEST purchase by the same user (backward-asof and forward-asof
+    merged, earlier wins ties) — attribution logic that plain backward
+    as-of gets wrong when the purchase lands just after the click.
+
+    Union-free single pass: tag purchase timestamps in-row, then one
+    window per direction over (user, time) — two frames over ONE exchange
+    on user_id, no join at all. Scales as any window op does; a
+    stream-stream formulation is the time-bounded join in streaming/."""
+    t = Tables(spark, sf_dir)
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    w_back = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_p = F.last(p_ts, ignorenulls=True).over(w_back)
+    next_p = F.first(p_ts, ignorenulls=True).over(w_fwd)
+    # NTZ timestamps subtract to day-time intervals, which compare
+    # directly — no epoch cast needed (NTZ refuses a long cast)
+    nearest = (
+        F.when(next_p.isNull(), prev_p)
+        .when(prev_p.isNull(), next_p)
+        .when(F.col("ts") - prev_p <= next_p - F.col("ts"), prev_p)
+        .otherwise(next_p)
+    )
+    return (
+        t.events.select("event_id", "user_id", "ts", "event_type", nearest.alias("nearest_purchase_ts"))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "nearest_purchase_ts")
+    )
+
+
+@register(
+    "sim_range_search",
+    oracle="""
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+           / (SQRT(list_aggregate(list_transform(q.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * SQRT(list_aggregate(list_transform(c.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_sim
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+      AND list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+          / (SQRT(list_aggregate(list_transform(q.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             * SQRT(list_aggregate(list_transform(c.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= 0.25
+    """,
+    tags=("similarity", "range"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every corpus vector within cosine ≥ 0.25 of each
+    query vector (the retrieval primitive next to top-k). The tiny query
+    set broadcasts against the corpus scan — per-partition brute force,
+    no corpus shuffle at all; swap in the LSH/IVF bucket equi-join
+    (sim_topk_lsh / sim_ivf) when the query side is large."""
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = t.embeddings.select(F.col("vec_id").alias("match_id"), "embedding")
+    cos = cosine_similarity(F.col("q_emb"), F.col("embedding"))
+    return (
+        corpus.join(F.broadcast(queries), F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.25)
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube specialize
+    (here: (flag, status), (flag), and grand total, skipping the
+    (status)-only set a cube would add). Identical SQL text runs on both
+    engines; Catalyst expands the sets over ONE exchange with map-side
+    partial aggregation, exactly like agg_rollup's plan. Decimal-exact
+    sums as everywhere."""
+    Tables(spark, sf_dir).view("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_OVL_BIN_S = 4 * 86400  # bin width >= the longest interval on either side
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+    FROM orders a JOIN orders b
+      ON a.o_orderdate < b.o_orderdate + INTERVAL 2 DAY
+     AND b.o_orderdate < a.o_orderdate + INTERVAL 3 DAY
+     AND a.o_orderkey <> b.o_orderkey
+    WHERE a.o_orderpriority = '1-URGENT' AND b.o_orderpriority = '2-HIGH'
+    """,
+    tags=("join", "range", "scale"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval OVERLAP join as a binned equi-join — the
+    two-sided sibling of join_range_binned (which handles point-in-
+    interval). URGENT orders carry a 3-day window, HIGH orders a 2-day
+    window; emit pairs whose windows intersect.
+
+    Both sides explode onto the <=2 bins they cover (bin width >= the
+    longer interval), hash-join on the bin key, and keep a pair only in
+    the bin containing max(lo_a, lo_b) — each overlapping pair meets in
+    exactly ONE bin, so there is no distinct/dedup shuffle — then apply
+    the exact overlap predicate as a residual filter. One shuffle on
+    `bin`, same 100x-survivable shape as join_range_binned where the
+    naive two-sided predicate plans an O(N*M) nested loop."""
+    t = Tables(spark, sf_dir)
+
+    def binify(c):
+        return F.floor(c / F.lit(_OVL_BIN_S))
+
+    def side(priority: str, days: int, key_alias: str, pfx: str):
+        return (
+            t.orders.filter(F.col("o_orderpriority") == priority)
+            .select(
+                F.col("o_orderkey").alias(key_alias),
+                F.unix_timestamp("o_orderdate").alias(f"{pfx}_lo"),
+                (F.unix_timestamp("o_orderdate") + days * 86400).alias(f"{pfx}_hi"),
+            )
+            .withColumn(
+                "bin",
+                F.explode(
+                    F.sequence(binify(F.col(f"{pfx}_lo")), binify(F.col(f"{pfx}_hi") - 1))
+                ),
+            )
+        )
+
+    a = side("1-URGENT", 3, "key_a", "a")
+    b = side("2-HIGH", 2, "key_b", "b")
+    return (
+        a.join(b, "bin")
+        .filter(
+            (F.col("a_lo") < F.col("b_hi"))
+            & (F.col("b_lo") < F.col("a_hi"))
+            & (F.col("key_a") != F.col("key_b"))
+            & (F.col("bin") == binify(F.greatest(F.col("a_lo"), F.col("b_lo"))))
+        )
+        .select("key_a", "key_b")
+    )

@@ -52,6 +52,7 @@ _MODULES = (
     "data_bridge_spark.operators.warehouse",
     "data_bridge_spark.operators.mlprep",
     "data_bridge_spark.operators.graph",
+    "data_bridge_spark.operators.enrich",
 )
 
 

@@ -28,6 +28,7 @@ ALLOW: dict[str, str] = {
     "skyline_pareto": "dominance anti-join on a bounded block; skyline_grid is the scale path",
     "skyline_grid": "phase-2 dominance join runs only on the small union of local skylines",
     "udtf_expand": "the B22 Python-UDTF surface itself (BatchEvalPython is what a UDTF is)",
+    "sim_range_search": "radius scan vs a 10-vector broadcast query set (corpus never shuffles; LSH/IVF are the large-query-set paths)",
 }
 
 
