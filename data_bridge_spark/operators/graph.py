@@ -91,31 +91,50 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     85×sum overflows only past in-degree ≈ 1e8 — far above any LSH-bounded
     bucket degree; drop SCALE to 1e6 if a graph ever gets there."""
     docs = Tables(spark, sf_dir).documents
+    return pagerank(docs)
+
+
+def pagerank(
+    docs: DataFrame,
+    iters: int = _ITERS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Integer fixed-point PageRank over the LSH near-dup graph. Same
+    checkpointing contract as the CC loop (dedup._lsh_cc_labels):
+    executor-local lineage cuts by default; pass ``checkpoint_dir`` for
+    durable ``checkpoint()`` to shared storage at cluster scale."""
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        return df.checkpoint(eager=eager) if checkpoint_dir is not None else df.localCheckpoint(eager=eager)
+
     pairs = lsh_candidate_pairs(docs).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    edges = ckpt(
+        pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        False,
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    edges_deg = ckpt(edges.join(deg, "src"), False)
 
     nodes = docs.select("doc_id")
     ranks = nodes.select("doc_id", F.lit(_SCALE).cast("long").alias("rank"))
-    for _ in range(_ITERS):
+    for _ in range(iters):
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.doc_id)
             .select(F.col("dst"), F.expr("rank div d").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
+        ranks = ckpt(
             nodes.join(contrib, nodes.doc_id == contrib.dst, "left")
             .select(
                 "doc_id",
                 (F.lit(_BASE) + F.expr("85 * coalesce(c, 0) div 100")).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            False,
         )
     return ranks.select("doc_id", F.col("rank").cast("long").alias("rank_fp"))
 

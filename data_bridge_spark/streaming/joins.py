@@ -48,3 +48,16 @@ def stream_click_to_purchase(events: DataFrame, horizon_minutes: int = 30) -> Da
         "purchase_id", "click_id", F.col("purchase_user").alias("user_id"),
         "click_ts", "purchase_ts", "purchase_value",
     )
+
+
+def stream_enrich_users(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a static
+    dimension (user → tier). The static side is broadcast to every
+    micro-batch — no stream state at all (unlike stream-stream joins),
+    and the dim is re-resolved per batch, so a refreshed dim table is
+    picked up on the next trigger. This is the streaming twin of
+    join_broadcast: at 100 TB/day the stream side never shuffles for
+    the join."""
+    return events.join(F.broadcast(user_dim), "user_id", "left").select(
+        "event_id", "ts", "user_id", "event_type", "value", "user_tier"
+    )

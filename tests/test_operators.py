@@ -173,3 +173,16 @@ def Tables_lineitem(spark, sf_dir):
     from data_bridge_spark.catalog import Tables
 
     return Tables(spark, sf_dir).lineitem
+
+
+def test_pagerank_durable_checkpoint_matches_local(spark, sf_dir, tmp_path):
+    from data_bridge_spark.catalog import Tables
+    from data_bridge_spark.operators.graph import pagerank
+
+    docs = Tables(spark, sf_dir).documents
+    local = {(r.doc_id, r.rank_fp) for r in pagerank(docs).collect()}
+    durable = {
+        (r.doc_id, r.rank_fp)
+        for r in pagerank(docs, checkpoint_dir=str(tmp_path / "prckpt")).collect()
+    }
+    assert local == durable

@@ -23,3 +23,25 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     b = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert s == b
     assert len(s) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    from data_bridge_spark.streaming.joins import stream_enrich_users
+
+    dim = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.when(F.col("n") >= 20, "heavy").otherwise("light").alias("user_tier"),
+        )
+    )
+    dim.cache().count()  # static side fixed for both runs
+    streamed = run_to_memory(
+        stream_enrich_users(read_events_stream(spark, sf_dir), dim)
+    )
+    batch = stream_enrich_users(_batch_events(spark, sf_dir), dim)
+    s = {(r.event_id, r.user_tier) for r in streamed.collect()}
+    b = {(r.event_id, r.user_tier) for r in batch.collect()}
+    assert s == b and len(s) > 0
