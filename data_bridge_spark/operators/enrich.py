@@ -430,3 +430,117 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("key_a", "key_b")
     )
+
+
+@register(
+    "dedup_latest_version",
+    oracle="""
+    SELECT user_id, event_type, ts, value
+    FROM (
+        SELECT user_id, event_type, ts, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "cdc", "window"),
+)
+def dedup_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: keep only the newest record per key — the
+    upsert-log → current-state collapse every change-capture pipeline
+    runs (scd2_merge keeps history; this keeps the head). One window
+    over one exchange on the key; event_id breaks timestamp ties so the
+    survivor is deterministic on any engine and any partitioning."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "value")
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           date_trunc('week', e.ts) AS active_week,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    distinct in every week they return — the canonical growth-analytics
+    rollup. Two shuffles (first-seen agg on user, then the cohort×week
+    count-distinct); the user→cohort join is on the already-shuffled user
+    key. Week buckets via date_trunc, Monday-based in both engines."""
+    t = Tables(spark, sf_dir)
+    firsts = t.events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts")).cast("date")).alias("cohort_week")
+    )
+    return (
+        t.events.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+_INCR_SPLIT = "1997-01-01"
+
+
+@register(
+    "agg_incremental",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("agg", "incremental"),
+)
+def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a 'materialized' historical
+    partial state (orders before 1997) merged with a fresh delta batch
+    (1997+) by RE-AGGREGATING PARTIAL STATES — count via SUM(n), sum via
+    SUM(partial), max via MAX(partial) — instead of rescanning history.
+    The oracle computes the aggregate directly over the full table, so a
+    green row proves the merge is lossless — the property that makes
+    count/sum/min/max (and any commutative monoid, incl. HLL sketches)
+    maintainable at 100 TB where full recompute is not. Exact decimal
+    partials make merge order irrelevant bit-for-bit."""
+    t = Tables(spark, sf_dir)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"),
+            F.max("o_orderdate").alias("mx"),
+        )
+
+    hist = partial(t.orders.filter(F.col("o_orderdate") < _INCR_SPLIT))
+    delta = partial(t.orders.filter(F.col("o_orderdate") >= _INCR_SPLIT))
+    return (
+        hist.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").cast("double").alias("total_spent"),
+            F.max("mx").alias("last_order"),
+        )
+    )
