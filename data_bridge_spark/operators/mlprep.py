@@ -119,6 +119,32 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(MD5('strat-' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 100 ELSE 80 END
+    """,
+    tags=("mlprep", "sampling"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling, deterministic form: the same per-language
+    fractions as sample_stratified but decided by content hash — a pure
+    function of (seed, key), so the sample is identical across engines,
+    re-runs, retries, and partitionings, and therefore oracle-checkable
+    (sampleBy's RNG stream is partitioning-dependent by construction).
+    Zero shuffle, filter-only plan."""
+    t = Tables(spark, sf_dir)
+    pct = _hash_pct(F.col("doc_id"), "strat-")
+    rate = (
+        F.when(F.col("lang") == "en", 30)
+        .when(F.col("lang") == "zh", 100)
+        .otherwise(80)
+    )
+    return t.documents.filter(pct < rate).select("doc_id", "lang")
+
+
+@register(
     "pack_sequences",
     oracle=None,  # greedy packing is order-stateful → rows-only + tests
     tags=("mlprep", "packing"),
