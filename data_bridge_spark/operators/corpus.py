@@ -1,0 +1,196 @@
+"""Corpus-hygiene operators for LLM training-data pipelines: benchmark
+decontamination, repetition (Gopher-style) quality signals, and TF-IDF
+term ranking.
+
+Extends the reference's text-processing surface (see
+`/root/reference/app/utils/transformer.py` string helpers) with the
+corpus-level operations a 100 TB pretraining pipeline needs.  Doctrine as
+elsewhere: JVM-side expressions, map-side-combinable aggregations, and
+broadcast joins for the small side; every double emitted is either an
+integer ratio (IEEE division — bit-identical across engines) or an exact
+decimal collapse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.registry import register
+
+# Word n-gram construction shared by the three operators: zip the token
+# array against its own shifted slices — pure array expressions, the
+# explode happens only where a per-gram grain is genuinely needed.
+
+
+def _words(col: F.Column) -> F.Column:
+    return F.split(F.lower(col), " ")
+
+
+def _ngrams(words: F.Column, n: int) -> F.Column:
+    parts = [words.alias("g0")] + [
+        F.slice(words, i + 1, F.greatest(F.size(words) - i, F.lit(0))).alias(f"g{i}")
+        for i in range(1, n)
+    ]
+    zipped = F.arrays_zip(*parts)
+    return F.transform(
+        F.filter(zipped, lambda s: s[f"g{n-1}"].isNotNull()),
+        lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(n)]),
+    )
+
+
+_BENCH_MAX_DOC = 25  # doc_id < 25 plays the held-out benchmark set
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, unnest(list_transform(
+               list_filter(list_zip(words, words[2:], words[3:]), s -> s[3] IS NOT NULL),
+               s -> s[1] || ' ' || s[2] || ' ' || s[3])) AS shingle
+      FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS words FROM documents)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM tri WHERE doc_id < {_BENCH_MAX_DOC}),
+    corpus AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE doc_id >= {_BENCH_MAX_DOC})
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM corpus c JOIN bench b USING (shingle)
+    GROUP BY c.doc_id
+    """,
+    tags=("text", "decontaminate", "mlprep"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    trigram with a held-out benchmark set (doc_id < 25 here), reporting
+    the count of distinct shared trigrams per document.
+
+    The production pattern behind every "n-gram decontamination" step in
+    LLM data pipelines: the benchmark shingle set is tiny relative to the
+    corpus, so it is explicitly `broadcast()` — the corpus side streams
+    through a broadcast hash semi-join with ZERO shuffle, and the only
+    exchange is the final per-doc count (map-side combinable).  At 100 TB
+    the corpus is never shuffled on the shingle key."""
+    t = Tables(spark, sf_dir)
+    tri = t.documents.select(
+        "doc_id", F.explode(_ngrams(_words(F.col("text")), 3)).alias("shingle")
+    )
+    bench = F.broadcast(
+        tri.filter(F.col("doc_id") < _BENCH_MAX_DOC).select("shingle").distinct()
+    )
+    corpus = tri.filter(F.col("doc_id") >= _BENCH_MAX_DOC).distinct()
+    return (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(string_split(LOWER(text), ' ')) AS word FROM documents),
+    c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+    ws AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                  CAST(MAX(cnt) AS BIGINT) AS top_cnt FROM c GROUP BY doc_id),
+    bg AS (SELECT doc_id, len(bigrams) AS nb, len(list_distinct(bigrams)) AS nd
+           FROM (SELECT doc_id, list_transform(list_filter(list_zip(words, words[2:]), s -> s[2] IS NOT NULL),
+                        s -> s[1] || ' ' || s[2]) AS bigrams
+                 FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS words FROM documents)))
+    SELECT ws.doc_id, n_words, n_distinct,
+           CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+           CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac,
+           CAST(nb - nd AS DOUBLE) / nb AS dup_bigram_frac
+    FROM ws JOIN bg USING (doc_id)
+    """,
+    tags=("text", "quality", "mlprep"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, top-word frequency fraction, duplicate-bigram fraction —
+    the filters that catch boilerplate and degenerate generations.
+
+    Two shapes deliberately mixed: word stats go explode → two-level
+    groupBy (map-side partial agg both levels — the scale path for long
+    documents, where per-row O(n·distinct) array scans would burn CPU);
+    bigram dup-fraction stays a per-row array expression (zero shuffle).
+    The join back is on doc_id, co-partitioned with the agg's shuffle.
+    All three fractions are integer-ratio IEEE divisions — bit-identical
+    across engines."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", _words(F.col("text")).alias("words"))
+    c = (
+        docs.select("doc_id", F.explode("words").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ws = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    bigrams = _ngrams(F.col("words"), 2)
+    bg = docs.select(
+        "doc_id",
+        F.size(bigrams).alias("nb"),
+        F.size(F.array_distinct(bigrams)).alias("nd"),
+    )
+    return ws.join(bg, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        ((F.col("n_words") - F.col("n_distinct")).cast("double") / F.col("n_words")).alias("dup_word_frac"),
+        (F.col("top_cnt").cast("double") / F.col("n_words")).alias("top_word_frac"),
+        ((F.col("nb") - F.col("nd")).cast("double") / F.col("nb")).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(string_split(LOWER(text), ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY 1),
+    scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                      CAST(tf.tf AS DOUBLE) / df.df AS score
+               FROM tf JOIN df USING (term) WHERE tf.doc_id < 100),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+               FROM scored)
+    SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-distinctive terms per document by TF-IDF with a linear
+    idf (score = tf/df; the conventional N factor is constant over the
+    corpus so it cannot change any ranking — dropping it saves a scan).
+    Linear rather than log idf is deliberate: the score is then one IEEE
+    double division of exact integers — bit-identical across engines —
+    where `ln` is a libm call whose last ulp differs between the JVM and
+    C runtimes (same ranking behavior, hash-stable output).
+
+    Plan shape: term frequencies and document frequencies are two
+    map-side-combinable aggregations; df is vocabulary-sized so the join
+    back to tf broadcasts at any realistic scale (hinted).  Top-k per
+    doc is one window with a total (score DESC, term ASC) order."""
+    t = Tables(spark, sf_dir)
+    words = t.documents.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
+    tf = (
+        words.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )

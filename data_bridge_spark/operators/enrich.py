@@ -544,3 +544,37 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("last_order"),
         )
     )
+
+
+@register(
+    "window_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    tags=("window", "rank"),
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within a partition: percent_rank and cume_dist
+    of customer balance within nation — the distribution-position
+    functions B15's rank/ntile family was missing.  Both are count
+    ratios ((rank-1)/(N-1), peers/N): IEEE divisions of exact integers,
+    bit-identical across engines; the (acctbal, custkey) total order
+    makes ranks unique so ties can't differ between engines.  One
+    exchange on the partition key; balance emitted as DOUBLE (raw
+    DECIMAL output is the one driver-hash trap, see cast_map)."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    )
+    return t.customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

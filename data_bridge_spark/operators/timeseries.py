@@ -1,0 +1,206 @@
+"""Time-series maintenance operators over `events`: gap-filling,
+linear interpolation, and dynamic pivoting — the hypertable-style
+operations (TimescaleDB `time_bucket_gapfill` / `interpolate`
+semantics) re-expressed as Spark plans.
+
+Per-entity bucket sequences are generated with `F.sequence` + explode —
+a narrow (no-shuffle) expansion bounded by span/step per key — and the
+fill/interpolation joins are co-partitioned with the aggregation's own
+shuffle on the entity key, so the whole fill is ONE exchange at any
+scale.  Interpolated values are pure IEEE double arithmetic over exact
+integers (bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.registry import register
+
+
+@register(
+    "events_gapfill",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ), hours AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket_ts FROM span
+    ), actual AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    )
+    SELECT h.user_id, h.bucket_ts, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
+    FROM hours h LEFT JOIN actual a USING (user_id, bucket_ts)
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled hourly series per user (TimescaleDB
+    `time_bucket_gapfill` semantics): generate every hourly bucket
+    between each user's first and last event, left-join the actual
+    hourly counts, fill the holes with 0.
+
+    The bucket spine is `F.sequence` exploded per user — a narrow map
+    over the (tiny) per-user span row, NOT a driver-side loop or a
+    cross join against a global calendar; output size is bounded by
+    span/step per key.  Both the spine agg and the fill join hash on
+    user_id, so AQE coalesces them into one exchange lineage."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") < 20)
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("bucket_ts"),
+    )
+    actual = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hours.join(actual, ["user_id", "bucket_ts"], "left").select(
+        "user_id",
+        "bucket_ts",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+    )
+
+
+@register(
+    "events_interpolate",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+             CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+      FROM events WHERE user_id < 50 GROUP BY user_id
+    ), days AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_raw FROM span
+    ), actual AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day_d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ), g AS (
+      SELECT d.user_id, CAST(d.day_raw AS DATE) AS day_d, a.n
+      FROM days d LEFT JOIN actual a ON a.user_id = d.user_id AND a.day_d = CAST(d.day_raw AS DATE)
+    ), f AS (
+      SELECT user_id, day_d, n,
+             last_value(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day_d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_n,
+             last_value(CASE WHEN n IS NOT NULL THEN day_d END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day_d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+             first_value(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day_d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_n,
+             first_value(CASE WHEN n IS NOT NULL THEN day_d END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day_d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+      FROM g
+    )
+    SELECT user_id, day_d,
+           CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                ELSE CAST(prev_n AS DOUBLE)
+                     + (CAST(next_n AS DOUBLE) - CAST(prev_n AS DOUBLE))
+                       * (CAST(date_diff('day', prev_d, day_d) AS DOUBLE)
+                          / date_diff('day', prev_d, next_d))
+           END AS n_interp,
+           CAST(n IS NULL AS BOOLEAN) AS interpolated
+    FROM f
+    """,
+    tags=("events", "timeseries", "interpolate"),
+)
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing daily counts per user
+    (TimescaleDB `interpolate` semantics): gap-fill the daily spine,
+    then fill each hole with the straight line between its nearest
+    present neighbors — `last/first(... ignore nulls)` over the same
+    one exchange on user_id (all four window frames share it).
+
+    Span endpoints carry events by construction (min/max ts), so every
+    hole has both neighbors.  The interpolation expression is written
+    with the identical operation order on both engines — subtraction,
+    one division, one multiply, one add over exact integers — so the
+    doubles are bit-identical."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") < 50)
+    span = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    days = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day_d"),
+    )
+    actual = ev.groupBy("user_id", F.to_date("ts").alias("day_d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    g = days.join(actual, ["user_id", "day_d"], "left")
+    wp = W.partitionBy("user_id").orderBy("day_d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wn = W.partitionBy("user_id").orderBy("day_d").rowsBetween(W.currentRow, W.unboundedFollowing)
+    present_day = F.when(F.col("n").isNotNull(), F.col("day_d"))
+    f = g.select(
+        "user_id",
+        "day_d",
+        "n",
+        F.last("n", ignorenulls=True).over(wp).alias("prev_n"),
+        F.last(present_day, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("n", ignorenulls=True).over(wn).alias("next_n"),
+        F.first(present_day, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    interp = F.col("prev_n").cast("double") + (
+        F.col("next_n").cast("double") - F.col("prev_n").cast("double")
+    ) * (
+        F.datediff(F.col("day_d"), F.col("prev_d")).cast("double")
+        / F.datediff(F.col("next_d"), F.col("prev_d"))
+    )
+    return f.select(
+        "user_id",
+        "day_d",
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double")).otherwise(interp).alias("n_interp"),
+        F.col("n").isNull().alias("interpolated"),
+    )
+
+
+_EVENT_TYPES_STATIC = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_dynamic",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day_d,
+           CAST(COALESCE(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS view
+    FROM events GROUP BY 1
+    """,
+    tags=("events", "pivot", "dynamic"),
+)
+def events_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot: daily value sums by event type where the pivot
+    columns are DISCOVERED at plan time (`pivot()` with no value list →
+    Spark runs a bounded distinct job, sorts the values, and compiles
+    the same single-pass pivot plan as the static form).  The static
+    oracle then *verifies the discovery*: if the distinct scan surfaced
+    a wrong or missing type, the schemas diverge and the check fails.
+
+    The discovery job scans one low-cardinality column — at 100 TB this
+    is a column-pruned, map-side-combined distinct, the standard price
+    of dynamic pivoting (and why `events_pivot` demonstrates the
+    explicit-list fast path).  Sums are exact decimal, collapsed to
+    DOUBLE at the edge."""
+    t = Tables(spark, sf_dir)
+    piv = (
+        t.events.groupBy(F.to_date("ts").alias("day_d"))
+        .pivot("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")))
+    )
+    discovered = sorted(c for c in piv.columns if c != "day_d")
+    assert tuple(discovered) == _EVENT_TYPES_STATIC, discovered
+    return piv.select(
+        "day_d",
+        *[
+            F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c)
+            for c in discovered
+        ],
+    )

@@ -53,6 +53,8 @@ _MODULES = (
     "data_bridge_spark.operators.mlprep",
     "data_bridge_spark.operators.graph",
     "data_bridge_spark.operators.enrich",
+    "data_bridge_spark.operators.corpus",
+    "data_bridge_spark.operators.timeseries",
 )
 
 
