@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
+from data_bridge_spark.functions.exact import dec, dfactor, dmoney
 from data_bridge_spark.functions.vectors import cosine_similarity
 from data_bridge_spark.operators.dedup import _bands_sql, _pairs_sql, lsh_candidate_pairs
 from data_bridge_spark.registry import register
@@ -577,4 +578,101 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("acctbal"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(l_quantity AS DECIMAL(8,4)))
+                     AS DECIMAL(18,2)) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "weighted"),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag: exact decimal
+    numerator and denominator, one double division at the edge.  The
+    numerator collapses to DECIMAL(18,2) before the double cast — the
+    product's real scale is 2, so no digits drop, and the unscaled value
+    stays under 2^53 where decimal→double casts round identically on
+    both engines (scale 6 would overflow that bound at sf0.1+; see
+    functions/exact.py docstring).  One map-side-combinable exchange."""
+    t = Tables(spark, sf_dir)
+    num = F.sum(dmoney("l_extendedprice") * dfactor("l_quantity")).cast("decimal(18,2)").cast("double")
+    den = F.sum(dec("l_quantity")).cast("decimal(18,6)").cast("double")
+    return t.lineitem.groupBy("l_returnflag").agg((num / den).alias("wavg_price"))
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("agg", "distinct", "bitmap"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via two-level bitmap aggregation
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg):
+    each (group, 32k-bucket) collapses its keys into a fixed 4 KB bitmap
+    map-side, then per-group bitmap_count sums.  The scale story vs
+    COUNT(DISTINCT): shuffle payload is O(groups × occupied buckets)
+    bitmaps instead of every distinct key — the exact counterpart of the
+    HLL sketch in agg_approx_distinct (C4), for when the answer must be
+    exact and the key space is dense integers.  The oracle computes
+    COUNT(DISTINCT) directly, proving the bitmap path lossless."""
+    t = Tables(spark, sf_dir)
+    b = (
+        t.lineitem.groupBy(
+            "l_returnflag", F.bitmap_bucket_number("l_orderkey").alias("bkt")
+        ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("l_orderkey")).alias("bm"))
+    )
+    return b.groupBy("l_returnflag").agg(F.sum(F.bitmap_count("bm")).alias("n_orders"))
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_bands_sql()},
+    {_pairs_sql()}
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_filter(
+                    list_distinct(string_split(LOWER(a.text), ' ')),
+                    w -> list_contains(list_distinct(string_split(LOWER(b.text), ' ')), w)
+                )) AS DOUBLE)
+           / CAST(least(len(list_distinct(string_split(LOWER(a.text), ' '))),
+                        len(list_distinct(string_split(LOWER(b.text), ' ')))) AS DOUBLE) AS containment
+    FROM cand c
+    JOIN documents a ON a.doc_id = c.id_a
+    JOIN documents b ON b.doc_id = c.id_b
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric Jaccard, |A∩B| / min(|A|,|B|)) over the
+    LSH candidate pairs — the measure that catches SUB-document
+    duplication (a doc wholly embedded in a larger one), which symmetric
+    Jaccard under-scores because the union is dominated by the larger
+    doc.  Same candidate/verify contract as dedup_verified_pairs:
+    verification cost is O(candidates), token sets fetched by two
+    doc_id equi-joins, never pairs × corpus."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("words")
+    )
+    pairs = lsh_candidate_pairs(t.documents)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("words").alias("words_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("words").alias("words_b"))
+    inter = F.size(F.array_intersect(F.col("words_a"), F.col("words_b")))
+    smaller = F.least(F.size("words_a"), F.size("words_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (inter.cast("double") / smaller.cast("double")).alias("containment"),
+        )
     )

@@ -204,3 +204,44 @@ def events_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in discovered
         ],
     )
+
+
+@register(
+    "events_sequence_detect",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id, string_agg(event_type, ',' ORDER BY ts ASC, event_id ASC) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST((len(seq) - len(replace(seq, 'view,click,purchase', '')))
+                / len('view,click,purchase') AS BIGINT) AS n_funnel,
+           CAST(len(string_split(seq, ',')) AS BIGINT) AS n_events
+    FROM seqs
+    """,
+    tags=("events", "pattern"),
+)
+def events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern detection: count strictly
+    consecutive view→click→purchase runs per user.  The per-user event
+    stream is assembled as a totally-ordered (ts, event_id) struct array
+    — one shuffle on user_id, grain bounded by events-per-user — and the
+    pattern count is pure string arithmetic ((len − len(replace))/patlen),
+    exact integers on both engines.  The general form of events_funnel's
+    any-gap ordering: here adjacency matters."""
+    t = Tables(spark, sf_dir)
+    pat = "view,click,purchase"
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    seq = F.concat_ws(",", F.transform(ordered, lambda x: x["event_type"]))
+    return (
+        t.events.groupBy("user_id")
+        .agg(seq.alias("seq"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            ((F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(pat), F.lit(""))))
+             / F.lit(len(pat))).cast("long").alias("n_funnel"),
+            "n_events",
+        )
+    )
