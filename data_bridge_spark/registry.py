@@ -74,75 +74,80 @@ def register(
 
 
 # Driver-evidence rotation: the external correctness driver oracles the
-# FIRST 50 queries in `load_all()` order.  Rounds 1-2 evidenced the first
-# 50 registration-order names; round 3 rotates the remaining oracled
-# queries (plus the re-fixed `cast_map`) into the window so every oracled
-# operator accumulates a hard driver row.  Names absent from this tuple
-# follow in plain registration order; unknown names here raise.
-_DRIVER_WINDOW: tuple[str, ...] = (
-    "cast_map",  # red in r1/r2 (decimal hash canonicalization); fixed in r3 — keep in window
-    # — never driver-checked before round 3 (oracled) —
-    "text_pii_mask",
-    "win_tumbling",
-    "win_sliding",
-    "win_session",
-    "asof_last_purchase",
-    "events_funnel",
-    "asof_merge_pandas",
-    "events_pivot",
-    "mm_binary_meta",
-    "mm_frame_sample",
-    "mm_features",
-    "join_range",
-    "join_range_binned",
-    "filter_step_param",
-    "agg_cube",
-    "agg_median",
-    "window_range_frame",
-    "window_first_last",
-    "unpivot_measures",
-    "scalar_hash",
-    "text_shingles",
-    "join_skew_salted",
-    "sink_partitioned",
-    "sink_csv",
-    "skyline_pareto",
-    "skyline_grid",
-    "udtf_expand",
-    "sql_cte",
-    "sql_correlated",
-    "pipeline_stream_query",
-    "text_top_terms",
-    "sort_global",
-    "scalar_null",
-    "scalar_tz",
-    "agg_misc",
-    "agg_collect",
-    "agg_stats",
-    "agg_histogram",
-    "join_full",
-    "join_cross",
-    "scalar_struct",
-    "scd2_merge",
-    "split_train_test",
-    "shuffle_deterministic",
-    "mix_weighted",
-    "dq_report",
-    "mlprep_pipeline",
-    "graph_pagerank",
-    "graph_triangles",
-)
+# FIRST `_DRIVER_SLOTS` queries in `load_all()` order, so registration
+# order is the lever that decides which queries accumulate hard driver
+# evidence each round.  Rather than hand-pinning a window per round, the
+# order is derived from the committed `CORRECTNESS_r*.json` snapshots the
+# driver itself writes: oracled queries whose LATEST driver row failed
+# come first (a fix must re-prove itself), then oracled queries with no
+# value-level driver row yet (registration order), then evidenced-green
+# queries stalest-evidence-first, then rows-only queries.  With no
+# snapshot files present this degrades to plain registration order.
+_DRIVER_SLOTS = 50
+
+
+def _driver_evidence() -> dict[str, tuple[int, bool]]:
+    """name -> (latest_round_seen, latest_row_was_green_value_match).
+
+    A row with ``err == 'no_oracle'`` is a rows-only check, not value
+    evidence — for a query that has an oracle it counts as unevidenced.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    evidence: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err") == "no_oracle":
+                continue
+            green = bool(
+                row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+            )
+            prev = evidence.get(name)
+            if prev is None or rnd >= prev[0]:
+                evidence[name] = (rnd, green)
+    return evidence
+
+
+def _driver_order(registry: dict[str, Query]) -> list[str]:
+    evidence = _driver_evidence()
+    reg_pos = {n: i for i, n in enumerate(registry)}
+
+    def key(name: str) -> tuple:
+        q = registry[name]
+        ev = evidence.get(name)
+        if q.oracle is None:
+            group = 3  # rows-only: never spend an oracle slot on it
+        elif ev is not None and not ev[1]:
+            group = 0  # latest driver row red — re-prove the fix first
+        elif ev is None:
+            group = 1  # oracled but no value-level driver row yet
+        else:
+            group = 2  # evidenced green — stalest evidence first
+        staleness = ev[0] if (group == 2 and ev is not None) else 0
+        return (group, staleness, reg_pos[name])
+
+    return sorted(registry, key=key)
 
 
 def load_all() -> dict[str, Query]:
     for mod in _MODULES:
         importlib.import_module(mod)
-    missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
-    if missing:
-        raise KeyError(f"_DRIVER_WINDOW names not registered: {missing}")
-    ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
-    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
-    return ordered
+    return {n: REGISTRY[n] for n in _driver_order(REGISTRY)}
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

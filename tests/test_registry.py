@@ -3,7 +3,12 @@
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
-from data_bridge_spark.registry import REGISTRY, _DRIVER_WINDOW, load_all
+from data_bridge_spark.registry import (
+    _DRIVER_SLOTS,
+    REGISTRY,
+    _driver_evidence,
+    load_all,
+)
 
 
 def test_load_all_idempotent():
@@ -12,16 +17,37 @@ def test_load_all_idempotent():
     assert list(a) == list(b)
 
 
-def test_driver_window_is_first_50_and_fully_oracled():
-    """The correctness driver oracles the first 50 queries in load_all()
-    order.  Round 3 rotates previously-unevidenced queries into that
-    window; every slot must carry a DuckDB oracle so no slot is wasted on
-    a rows-only check."""
+def test_driver_window_rotates_evidence():
+    """The correctness driver oracles the first _DRIVER_SLOTS queries in
+    load_all() order.  The window must be derived from the committed
+    CORRECTNESS_r*.json snapshots so that every round spends its slots on
+    the queries with the weakest driver evidence:
+
+    - no rows-only query occupies a slot while an oracled one is outside;
+    - any query whose LATEST driver row was red leads the window;
+    - no evidenced-green query occupies a slot while a never-evidenced
+      oracled query sits outside the window.
+    """
     qs = load_all()
     names = list(qs)
-    assert names[:50] == list(_DRIVER_WINDOW)
-    rows_only = [n for n in names[:50] if qs[n].oracle is None]
-    assert not rows_only, f"rows-only queries waste driver slots: {rows_only}"
+    window, rest = names[:_DRIVER_SLOTS], names[_DRIVER_SLOTS:]
+    evidence = _driver_evidence()
+
+    rows_only_in = [n for n in window if qs[n].oracle is None]
+    oracled_out = [n for n in rest if qs[n].oracle is not None]
+    assert not (rows_only_in and oracled_out), f"rows-only waste slots: {rows_only_in}"
+
+    red = [n for n, (_, green) in evidence.items() if not green and qs[n].oracle is not None]
+    for n in red:
+        assert n in window, f"red driver row {n!r} not rotated into the window"
+
+    never = [n for n in names if qs[n].oracle is not None and n not in evidence]
+    green_in_window = [n for n in window if n in evidence and evidence[n][1]]
+    never_outside = [n for n in rest if n in never]
+    assert not (green_in_window and never_outside), (
+        f"green {green_in_window[:3]} hold slots while never-evidenced "
+        f"{never_outside[:3]} wait outside"
+    )
 
 
 def test_every_oracle_key_has_a_query():
