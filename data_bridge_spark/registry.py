@@ -55,6 +55,7 @@ _MODULES = (
     "data_bridge_spark.operators.enrich",
     "data_bridge_spark.operators.corpus",
     "data_bridge_spark.operators.timeseries",
+    "data_bridge_spark.operators.linkage",
 )
 
 
