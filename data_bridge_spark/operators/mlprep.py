@@ -305,3 +305,82 @@ def mlprep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(pct < 80, "train").otherwise("test").alias("split"),
         )
     )
+
+
+@register(
+    "mlprep_kfold",
+    oracle=f"""
+    WITH folds AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(('0x' || substr(MD5('kfold-' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INT) AS fold
+      FROM documents
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM folds GROUP BY fold
+    """,
+    tags=("mlprep", "cv", "split"),
+)
+def mlprep_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment by content hash: fold(doc) is a
+    pure function of the key, so folds are stable across engines,
+    partitionings, and incremental corpus growth (a new doc never moves
+    an old one — randomSplit can't promise any of that).  Emits per-fold
+    summary stats; the row-level assignment is the same expression
+    train/eval jobs filter on.  Zero-shuffle assignment + one exchange
+    for the summary."""
+    t = Tables(spark, sf_dir)
+    fold = (_hash_pct(F.col("doc_id"), "kfold-") % 5).cast("int")
+    return (
+        t.documents.select("doc_id", "n_chars", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "mlprep_rebalance",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    target AS (SELECT MAX(n) AS t FROM counts),
+    reps AS (
+      SELECT c.lang, CAST(FLOOR(t.t / c.n) AS BIGINT) AS n_copies
+      FROM counts c CROSS JOIN target t
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(unnest(generate_series(1, r.n_copies)) AS BIGINT) AS copy_idx
+    FROM documents d JOIN reps r USING (lang)
+    """,
+    tags=("mlprep", "rebalance", "sampling"),
+)
+def mlprep_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing by deterministic oversampling: each language is
+    replicated floor(max_class/n_class) times toward the majority-class
+    count — explode(sequence(1, n_copies)) materializes the copies with a
+    copy index (downstream shuffling separates them).  No RNG: the same
+    corpus always yields the same mixture.  The per-class factor table is
+    tiny (one row per class) and broadcast back; replication itself is a
+    narrow map — at 100 TB output volume is the only cost, which is the
+    point of the operation."""
+    t = Tables(spark, sf_dir)
+    counts = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    target = counts.agg(F.max("n").alias("t"))
+    reps = counts.crossJoin(F.broadcast(target)).select(
+        "lang", F.floor(F.col("t") / F.col("n")).cast("long").alias("n_copies")
+    )
+    return (
+        t.documents.join(F.broadcast(reps), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias("copy_idx"),
+        )
+    )

@@ -232,3 +232,66 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
     )
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+    WITH w AS (
+      SELECT string_split(LOWER(text), ' ') AS ws FROM documents
+    ),
+    ix AS (
+      SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w
+    ),
+    pairs AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM ix
+    ),
+    cnt AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT w1, SUM(n_pair) AS n_first FROM cnt GROUP BY w1
+    )
+    SELECT c.w1, c.w2, CAST(c.n_pair AS BIGINT) AS n_pair,
+           CAST(c.n_pair AS DOUBLE) / CAST(t.n_first AS DOUBLE) AS cond_p
+    FROM cnt c JOIN tot t USING (w1)
+    ORDER BY n_pair DESC, c.w1, c.w2 LIMIT 50
+    """,
+    tags=("text", "ngram", "lm"),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model table: count(w1,w2) and the
+    conditional probability P(w2|w1), top-50 bigrams with a total
+    tiebreak.  Bigrams come from zipping each token array with its tail
+    (slice+arrays_zip — JVM expressions, no shuffle until the count);
+    the count is one map-side-combinable exchange on (w1,w2) plus a
+    smaller one on w1 for the denominator, joined back.  Probabilities
+    are single integer→double divisions, so they hash exactly.  At
+    100 TB this is the n-gram statistics job behind KenLM-style filtering
+    — same shape, vocabulary-bounded output."""
+    t = Tables(spark, sf_dir)
+    ws = F.split(F.lower(F.col("text")), " ")
+    pairs = (
+        t.documents.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w1"),
+                    F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    tot = cnt.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
+    return (
+        cnt.join(tot, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n_first").cast("double")).alias("cond_p"),
+        )
+        .orderBy(F.desc("n_pair"), "w1", "w2")
+        .limit(50)
+    )

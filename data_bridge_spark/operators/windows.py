@@ -105,3 +105,39 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "o_orderkey", "price_delta")
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+    FROM events WHERE event_type = 'view'
+    """,
+    tags=("window", "median", "robust"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-row median per user — the robust-smoothing counterpart
+    of window_running's mean.  Spark has no median window aggregate, so
+    the frame is materialized as a bounded collect_list and reduced with
+    array_sort + middle-element selection (JVM expressions, still one
+    exchange on user_id; frame size is a constant 5, so the array cost is
+    O(frame) per row, not O(partition)).  Even-width prefixes average the
+    two middles — a single double addition/halving, bit-deterministic, so
+    it hashes against DuckDB's interpolating MEDIAN."""
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid = F.element_at(arr, (n / 2 + 1).cast("int"))
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    med = F.when(n % 2 == 1, mid).otherwise((lo + mid) / 2.0)
+    return (
+        t.events.filter(F.col("event_type") == "view")
+        .select("user_id", "event_id", med.alias("med5"))
+    )
