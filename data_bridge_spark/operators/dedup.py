@@ -592,3 +592,85 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.2)
     )
+
+
+_PP_T = 0.6  # Jaccard threshold for the prefix-filtered similarity join
+
+
+@register(
+    "dedup_ppjoin",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS ws
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS i,
+             len(a.ws) AS na, len(b.ws) AS nb
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {_PP_T}
+    """,
+    tags=("dedup", "ppjoin", "exact"),
+)
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (PPJoin family,
+    Xiao et al., WWW'08 — public algorithm): unlike MinHash-LSH this
+    misses nothing and needs no signatures.  Tokens are globally ordered
+    rarest-first; a doc with token set s only needs its first
+    |s| − ⌈t·|s|⌉ + 1 tokens as join keys — if J(A,B) ≥ t, the smallest
+    common token provably sits inside BOTH prefixes (|A∩B| ≥ t·|A| and
+    ≥ t·|B|, so a miss would leave too few suffix slots for the overlap).
+    Rare-first ordering makes prefix join keys maximally selective: the
+    blocking degenerates exactly where LSH's hot buckets do NOT (frequent
+    tokens are pushed out of prefixes).  Shape: token-frequency count,
+    per-doc re-sort, prefix explode + equi-join on token, distinct pair
+    set, then an O(candidates) exact-Jaccard verify — every join an
+    equi-join.  The all-pairs oracle proves the filter lossless."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.array_distinct(F.split(_norm(F.col("text")), " ")).alias("ws")
+    )
+    freq = (
+        toks.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # per-doc tokens re-sorted rarest-first: (freq, tok) struct sort gives
+    # the same canonical global order in any engine / partitioning
+    ordered = (
+        toks.select("doc_id", F.explode("ws").alias("tok"))
+        .join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "tok"))), lambda s: s["tok"]
+            ).alias("ws"),
+        )
+    )
+    plen = (F.size("ws") - F.ceil(F.lit(_PP_T) * F.size("ws")) + 1).cast("int")
+    prefix = ordered.select(
+        "doc_id", F.explode(F.slice("ws", 1, plen)).alias("tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    wa = ordered.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a"))
+    wb = ordered.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("ws_b"))
+    i = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size("ws_a") + F.size("ws_b") - i
+    jac = i.cast("double") / union.cast("double")
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _PP_T)
+    )

@@ -274,3 +274,51 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) / n).alias("weight"),
         (F.col("value") / n).alias("attributed"),
     )
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT c_mktsegment, MEDIAN(c_acctbal) AS m
+      FROM customer GROUP BY c_mktsegment
+    ),
+    dev AS (
+      SELECT c.c_mktsegment, m, ABS(c.c_acctbal - m) AS d, c.c_acctbal
+      FROM customer c JOIN med USING (c_mktsegment)
+    ),
+    mad AS (
+      SELECT c_mktsegment, MEDIAN(d) AS mad FROM dev GROUP BY c_mktsegment
+    )
+    SELECT dev.c_mktsegment, dev.m AS median_bal, mad.mad,
+           CAST(COUNT(*) FILTER (WHERE dev.d > 3.0 * 1.4826 * mad.mad) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (c_mktsegment)
+    GROUP BY dev.c_mktsegment, dev.m, mad.mad
+    """,
+    tags=("anomaly", "robust", "quality"),
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection — the robust z-score.
+    Mean/stddev fences (anomaly_iqr's naive cousin) are themselves pulled
+    by the outliers they hunt; MAD has a 50% breakdown point.  Everything
+    is selection or elementwise double arithmetic (median → |x−m| →
+    median → 3·1.4826·mad compare): zero float summations, so results
+    hash across engines.  Three exchanges on the group key, each over
+    progressively tinier data; the two median passes become t-digest
+    sketches at 100 TB without changing the plan shape."""
+    t = Tables(spark, sf_dir)
+    med = t.customer.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.5)).alias("m")
+    )
+    dev = t.customer.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment", "m", F.abs(F.col("c_acctbal") - F.col("m")).alias("d")
+    )
+    mad = dev.groupBy("c_mktsegment").agg(F.percentile("d", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment", "m", "mad")
+        .agg(F.count_if(F.col("d") > 3.0 * 1.4826 * F.col("mad")).alias("n_outliers"))
+        .select(
+            "c_mktsegment", F.col("m").alias("median_bal"), "mad", "n_outliers"
+        )
+    )

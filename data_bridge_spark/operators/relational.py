@@ -277,3 +277,49 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orders.join(
         wanted, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pri, o_totalprice
+      FROM orders
+    ),
+    dim AS (
+      SELECT NULLIF(p, '3-MEDIUM') AS pri, tier FROM (VALUES
+        ('1-URGENT', 'rush'), ('2-HIGH', 'rush'), ('3-MEDIUM', 'standard'),
+        ('4-NOT SPECIFIED', 'slow'), ('5-LOW', 'slow')) v(p, tier)
+    )
+    SELECT dim.tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE a.pri IS NULL) AS BIGINT) AS n_null_key
+    FROM a JOIN dim ON a.pri IS NOT DISTINCT FROM dim.pri
+    GROUP BY dim.tier
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of silently dropping — the semantics CDC merges
+    and dimension lookups with optional keys need.  Crucially Spark still
+    plans `<=>` as a HASH join key (null-safe equality is an equi-
+    predicate, unlike `a = b OR (a IS NULL AND b IS NULL)` which would
+    fall to BNLJ); the dim side broadcasts.  The NULLIF derivation
+    manufactures NULLs on both sides to prove the match path."""
+    t = Tables(spark, sf_dir)
+    a = t.orders.select(
+        "o_orderkey", F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pri")
+    )
+    dim = spark.createDataFrame(
+        [("1-URGENT", "rush"), ("2-HIGH", "rush"), ("3-MEDIUM", "standard"),
+         ("4-NOT SPECIFIED", "slow"), ("5-LOW", "slow")],
+        "p string, tier string",
+    ).select(F.nullif(F.col("p"), F.lit("3-MEDIUM")).alias("pri"), "tier")
+    return (
+        a.join(F.broadcast(dim), a["pri"].eqNullSafe(dim["pri"]))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(a["pri"].isNull()).alias("n_null_key"),
+        )
+    )

@@ -320,3 +320,39 @@ def sim_cosine_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vec_id").alias("id_b"),
         cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
     )
+
+
+@register(
+    "scalar_hof",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(ws, w -> len(w) > 4)) AS INT) AS n_long,
+           CAST(list_reduce(list_prepend(0, list_transform(ws, w -> len(w))), (a, b) -> a + b) AS BIGINT) AS total_chars,
+           list_transform(list_filter(ws, w -> len(w) > 4), w -> upper(w)) AS long_upper
+    FROM toks
+    """,
+    tags=("scalar", "array", "hof"),
+)
+def scalar_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform / filter / aggregate
+    (fold) — run inside codegen on the JVM: per-token work without
+    exploding row counts or leaving whole-stage codegen, the idiom that
+    replaces a Python tokenize-UDF loop at 100 TB.  The fold seeds with a
+    long 0 so the sum is integer arithmetic end-to-end; DuckDB mirrors
+    with list lambdas."""
+    t = Tables(spark, sf_dir)
+    ws = F.split(F.lower(F.col("text")), " ")
+    long_words = F.filter(ws, lambda w: F.length(w) > 4)
+    return t.documents.select(
+        "doc_id",
+        F.size(long_words).alias("n_long"),
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("total_chars"),
+        F.transform(long_words, lambda w: F.upper(w)).alias("long_upper"),
+    )

@@ -61,23 +61,26 @@ def rowset(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 def canon_spark_type(t: str) -> str:
     t = t.lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return canon_spark_type(t[6:-1]) + "[]"
     return {
         "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
         "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
         "date": "date", "timestamp_ntz": "ts", "timestamp": "ts",
-        "array<bigint>": "i64[]",
     }.get(t, t)
 
 
 def canon_duck_type(t: str) -> str:
     t = t.lower()
+    if t.endswith("[]"):
+        return canon_duck_type(t[:-2]) + "[]"
     if t.startswith("decimal"):
         return t
     return {
         "bigint": "i64", "hugeint": "i128", "integer": "i32", "smallint": "i16",
         "tinyint": "i8", "double": "f64", "float": "f32", "varchar": "str",
         "boolean": "bool", "date": "date", "timestamp": "ts",
-        "timestamp_ns": "ts", "bigint[]": "i64[]",
+        "timestamp_ns": "ts",
     }.get(t, t)
 
 
