@@ -1,0 +1,518 @@
+"""Decision-support and profiling operators: TPC-H-grade multi-join
+analytics, market-basket co-occurrence, OLS regression, chi-square
+independence, entropy profiling, edit-distance linkage, vocabulary
+coverage, and incremental (new-vs-corpus) dedup.
+
+Scale doctrine as everywhere else: declarative plans Catalyst can push
+filters/pruning through, broadcast for dims, shuffles only on real keys,
+exact decimal sums for order-insensitive doubles, and a DuckDB oracle
+per query. The multi-join queries here are the classic warehouse shapes
+(TPC-H Q3/Q5 analogues on this schema) — the plans AQE re-orders and
+skew-splits at 100 TB, which is exactly why they are expressed as joins
++ group-bys rather than anything hand-scheduled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_bridge_spark.catalog import Tables
+from data_bridge_spark.functions.exact import davg, dfactor, dmoney, dsum
+from data_bridge_spark.operators.dedup import _bands_long, _minhash_sql_cols, _norm, _NORM_SQL
+from data_bridge_spark.registry import register
+
+_CUT = "1997-07-01 00:00:00"  # Q3-style split date (mid-range of o_orderdate)
+
+
+@register(
+    "tpch_q3_shipping",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           o.o_orderdate AS orderdate,
+           o.o_orderpriority AS priority,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))
+                       * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(18,6))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{_CUT}'
+      AND l.l_shipdate  > TIMESTAMP '{_CUT}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate ASC, orderkey ASC
+    LIMIT 10
+    """,
+    tags=("tpch", "join", "agg", "topk"),
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analogue (shipping priority): top-10 open-order revenue
+    for one market segment — the canonical fact x fact x dim funnel the
+    reference's report queries approximate (reference
+    sample.config.yaml:115-122). Both date filters and the segment
+    filter push into the scans (plan-verified class, see
+    tests/test_plan_audit.py); the two joins shuffle on custkey/orderkey;
+    the top-10 is a TakeOrdered over the per-order aggregate with a total
+    tie-break (revenue DESC, orderdate, orderkey), so no global sort
+    materializes. Revenue is the exact decimal product-sum from
+    functions/exact.py."""
+    t = Tables(spark, sf_dir)
+    cut = F.lit(_CUT.split(" ")[0]).cast("timestamp_ntz")
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t.orders.filter(F.col("o_orderdate") < cut)
+    li = t.lineitem.filter(F.col("l_shipdate") > cut)
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum(dmoney("l_extendedprice") * (1 - dfactor("l_discount")))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderdate"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))
+                       * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(18,6))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analogue (local supplier volume): revenue by nation where
+    the customer and the line's supplier share a nation, restricted to
+    one region and a date window. Six-table star-ish join: the two fact
+    joins shuffle on custkey/orderkey; supplier, nation, region are
+    broadcast (supplier is 10k rows/SF — broadcastable far beyond sf1);
+    the c_nationkey = s_nationkey co-location predicate rides the
+    supplier broadcast join, so no extra shuffle. This is the join-order
+    stress query: expressed declaratively, Catalyst + AQE pick the order
+    at runtime stats, which is the 100 TB answer."""
+    t = Tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        t.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t.supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dmoney("l_extendedprice") * (1 - dfactor("l_discount")))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_MIN_SUPPORT = 5
+
+
+@register(
+    "basket_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_MIN_SUPPORT}
+    """,
+    tags=("basket", "join", "agg"),
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: part pairs co-occurring in >= 5 orders
+    (the candidate-generation step of A-Priori / FP-growth). The in-
+    basket self-join is the textbook quadratic risk; here it is bounded
+    BY CONSTRUCTION — baskets are orders, and an order has ~4-7 lines,
+    so the expansion is O(b²) with b <= 7 per basket, i.e. linear overall.
+    One shuffle on orderkey for the self-join, one on the pair for the
+    count (map-side partial agg). At 100 TB the same plan holds as long
+    as baskets stay bounded; a degenerate mega-basket would need the
+    same cap-and-star guard dedup.lsh_candidate_pairs applies."""
+    t = Tables(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= _MIN_SUPPORT)
+    )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sq,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sp,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                             * CAST(l_extendedprice AS DECIMAL(19,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sqp,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                             * CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sqq
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sqp - sq * sp) / (n * sqq - sq * sq) AS slope,
+           (sp - ((n * sqp - sq * sp) / (n * sqq - sq * sq)) * sq) / n AS intercept
+    FROM s
+    """,
+    tags=("agg", "stats", "regression"),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (price ~ quantity): REGR_SLOPE / REGR_INTERCEPT from
+    exact decimal power sums — same determinism machinery as
+    enrich.agg_corr (the built-in regr_* / covar aggregates accumulate
+    doubles in partition order, so their low bits change across re-runs).
+    One shuffle with map-side partial aggregation; the closed-form slope
+    and intercept are elementwise double math on the collapsed sums
+    (bit-deterministic). Sum-collapse bounds hold through sf1 (see
+    agg_corr's derivation; the largest sum here is sqp ~ 4e13 at scale 2,
+    unscaled < 2^53)."""
+    t = Tables(spark, sf_dir)
+    q6 = F.col("l_quantity").cast("decimal(18,6)")
+    p2 = F.col("l_extendedprice").cast("decimal(19,2)")
+    n = F.count(F.lit(1))
+    sq = F.sum(q6).cast("decimal(38,2)").cast("double")
+    sp = F.sum(p2).cast("decimal(38,2)").cast("double")
+    sqp = F.sum(q6 * p2).cast("decimal(38,2)").cast("double")
+    sqq = F.sum(q6 * q6).cast("decimal(38,2)").cast("double")
+    slope = (n * sqp - sq * sp) / (n * sqq - sq * sq)
+    intercept = (sp - slope * sq) / n
+    return t.lineitem.groupBy("l_returnflag").agg(
+        n.alias("n"), slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
+@register(
+    "stats_chisq",
+    oracle="""
+    WITH cells AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS observed
+        FROM customer
+        GROUP BY c_mktsegment, c_nationkey
+    ),
+    tot AS (
+        SELECT c_mktsegment, c_nationkey, observed,
+               SUM(observed) OVER (PARTITION BY c_mktsegment) AS seg_total,
+               SUM(observed) OVER (PARTITION BY c_nationkey) AS nat_total,
+               SUM(observed) OVER () AS grand_total
+        FROM cells
+    )
+    SELECT c_mktsegment, c_nationkey, observed,
+           CAST(seg_total AS DOUBLE) * nat_total / grand_total AS expected,
+           POW(observed - CAST(seg_total AS DOUBLE) * nat_total / grand_total, 2)
+               / (CAST(seg_total AS DOUBLE) * nat_total / grand_total) AS chi2_term
+    FROM tot
+    """,
+    tags=("stats", "profile"),
+)
+def stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for segment x nation: observed vs
+    expected count and the per-cell chi² contribution. Contributions are
+    emitted per cell rather than summed — integer window sums are exact
+    and the per-cell arithmetic is elementwise double math (deterministic),
+    while a final SUM over double terms would be partition-order-dependent;
+    callers fold the tiny cell table however they like. The heavy work is
+    one shuffle for the contingency counts; the three window totals run
+    over the ~125-row cell table (cells = |segments| x |nations|, a
+    statistic table, not data — single-partition windows there are free
+    at any corpus size)."""
+    t = Tables(spark, sf_dir)
+    cells = t.customer.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    seg_t = F.sum("observed").over(Window.partitionBy("c_mktsegment"))
+    nat_t = F.sum("observed").over(Window.partitionBy("c_nationkey"))
+    grand = F.sum("observed").over(Window.partitionBy())
+    expected = seg_t.cast("double") * nat_t / grand
+    return cells.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "observed",
+        expected.alias("expected"),
+        (F.pow(F.col("observed") - expected, F.lit(2)) / expected).alias("chi2_term"),
+    )
+
+
+@register(
+    "profile_diversity",
+    oracle="""
+    WITH cells AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY source) AS p,
+           (CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY source))
+               * (1 - CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY source)) AS gini_term
+    FROM cells
+    """,
+    tags=("stats", "profile", "text"),
+)
+def profile_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-distribution diversity terms: p and the
+    Gini-Simpson contribution p·(1-p) per (source, lang) cell — the
+    diversity index used to flag collapsed / single-language sources in
+    corpus QA. Gini rather than Shannon entropy is deliberate for the
+    same reason text_tfidf uses a linear idf: p·(1-p) is two IEEE-exact
+    double ops on an exact integer ratio (bit-identical across engines),
+    while log2 is a libm call whose last ulp differs between the JVM and
+    C runtimes. Same emit-the-cells doctrine as stats_chisq: integer
+    counts shuffle once; the per-source fold of the tiny cell table is
+    the caller's (summing doubles across cells is the one order-dependent
+    step, so it stays out of the oracle surface)."""
+    t = Tables(spark, sf_dir)
+    cells = t.documents.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("source"))
+    return cells.select(
+        "source", "lang", "n", p.alias("p"), (p * (1 - p)).alias("gini_term")
+    )
+
+
+_MAX_EDIT = 2
+
+
+@register(
+    "link_edit_distance",
+    oracle=f"""
+    WITH names AS (
+        SELECT DISTINCT p_name,
+               string_split(p_name, ' ')[-1] AS noun
+        FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM names a
+    JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_MAX_EDIT}
+    """,
+    tags=("linkage", "text", "join"),
+)
+def link_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-class record linkage: name pairs within edit distance 2,
+    blocked on the head noun (last token) so the quadratic Levenshtein
+    verification runs only inside blocks — the same candidate->verify
+    shape as dedup_verified_pairs, with blocking standing in for LSH.
+    Stage 1 collapses the table to DISTINCT names (a shuffle on the name,
+    output |vocabulary| not |rows|); stage 2 equi-joins on the block key
+    and filters with the JVM levenshtein expression (codegen, no Python).
+    Blocking recall caveat: edits inside the block key itself are missed
+    — the standard trade-off, documented here as in SCALE.md."""
+    t = Tables(spark, sf_dir)
+    names = (
+        t.part.select("p_name")
+        .distinct()
+        .withColumn("noun", F.element_at(F.split(F.col("p_name"), " "), -1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _MAX_EDIT)
+    )
+
+
+_VOCAB_K = 200
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rn
+            FROM toks GROUP BY tok
+        ) WHERE rn <= {_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "vocab", "llm"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-K token vocabulary
+    (count DESC, token ASC total tie-break — required for a checkable
+    top-K), then score every document's out-of-vocabulary rate. The
+    pipeline-design question this answers — "what does a K-entry vocab
+    miss?" — precedes every BPE training run. Two-pass plan: pass 1 is a
+    token count (shuffle on token, map-side combine) + top-K; pass 2
+    re-explodes and LEFT-joins the K-row vocab — broadcast, so the doc-
+    side never shuffles on the token. Counts are integers; the rate is
+    one exact division."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH old_docs AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+    new_docs AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+    old_fp AS (SELECT DISTINCT MD5({_NORM_SQL}) AS fp FROM old_docs),
+    sig_old AS (
+        SELECT doc_id, {_minhash_sql_cols()} FROM old_docs
+    ),
+    sig_new AS (
+        SELECT doc_id, {_minhash_sql_cols()} FROM new_docs
+    ),
+    bands_old AS (
+        SELECT 0 AS band_idx, MD5(CONCAT_WS('|', mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7)) AS band_hash FROM sig_old
+        UNION
+        SELECT 1, MD5(CONCAT_WS('|', mh_8, mh_9, mh_10, mh_11, mh_12, mh_13, mh_14, mh_15)) FROM sig_old
+    ),
+    bands_new AS (
+        SELECT doc_id, 0 AS band_idx, MD5(CONCAT_WS('|', mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7)) AS band_hash FROM sig_new
+        UNION ALL
+        SELECT doc_id, 1, MD5(CONCAT_WS('|', mh_8, mh_9, mh_10, mh_11, mh_12, mh_13, mh_14, mh_15)) FROM sig_new
+    ),
+    near AS (
+        SELECT DISTINCT nb.doc_id
+        FROM bands_new nb JOIN bands_old ob
+          ON nb.band_idx = ob.band_idx AND nb.band_hash = ob.band_hash
+    )
+    SELECT n.doc_id,
+           CAST(CASE WHEN f.fp IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup,
+           CAST(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS near_dup,
+           CAST(CASE WHEN f.fp IS NULL AND nr.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM new_docs n
+    LEFT JOIN old_fp f ON MD5({_NORM_SQL.replace("text", "n.text")}) = f.fp
+    LEFT JOIN near nr ON n.doc_id = nr.doc_id
+    """,
+    tags=("dedup", "incremental", "llm"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: screen a NEW batch (doc_id % 5 = 4 — a
+    stand-in for today's crawl partition) against the EXISTING corpus
+    without re-pairing the old corpus with itself. Each new doc is
+    flagged exact_dup (normalized fingerprint already present) and
+    near_dup (shares an LSH band bucket with any old doc — same
+    signature machinery as dedup_minhash, operators/dedup.py:56-78);
+    keep = neither. This is the production shape of fuzzy dedup at
+    100 TB: the daily batch joins against the corpus's band/fingerprint
+    INDEX (two equi-joins, shuffles sized by the new batch + index keys),
+    never corpus x corpus. The old side projects to bare fp / band keys
+    before the join — the payload never moves."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    old_fp = old.select(F.md5(_norm(F.col("text"))).alias("fp")).distinct()
+    new_fp = new.select("doc_id", F.md5(_norm(F.col("text"))).alias("fp"))
+    exact = (
+        new_fp.join(old_fp.withColumn("hit", F.lit(1)), "fp", "left")
+        .select("doc_id", F.coalesce("hit", F.lit(0)).alias("exact_dup"))
+    )
+    old_bands = _bands_long(old).select("band_idx", "band_hash").distinct()
+    near = (
+        _bands_long(new)
+        .join(old_bands, ["band_idx", "band_hash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_hit", F.lit(1))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("exact_dup").cast("int").alias("exact_dup"),
+            F.coalesce("near_hit", F.lit(0)).cast("int").alias("near_dup"),
+            ((F.col("exact_dup") == 0) & F.col("near_hit").isNull())
+            .cast("int")
+            .alias("keep"),
+        )
+    )

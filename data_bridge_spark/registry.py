@@ -56,6 +56,7 @@ _MODULES = (
     "data_bridge_spark.operators.corpus",
     "data_bridge_spark.operators.timeseries",
     "data_bridge_spark.operators.linkage",
+    "data_bridge_spark.operators.insights",
 )
 
 
