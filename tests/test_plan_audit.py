@@ -30,6 +30,7 @@ ALLOW: dict[str, str] = {
     "udtf_expand": "the B22 Python-UDTF surface itself (BatchEvalPython is what a UDTF is)",
     "sim_range_search": "radius scan vs a 10-vector broadcast query set (corpus never shuffles; LSH/IVF are the large-query-set paths)",
     "mlprep_rebalance": "cross join vs the 1-row global max-class aggregate (broadcast side is O(1); the per-class factor join itself is a broadcast hash join)",
+    "tpch_q22_dormant": "scalar-subquery shape: cross join vs the 1-row global average-balance aggregate (broadcast side is O(1))",
 }
 
 
