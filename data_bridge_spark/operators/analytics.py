@@ -224,3 +224,93 @@ def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("et").alias("et"),
         s.getField("val").alias("val"),
     )
+
+
+@register(
+    "agg_moments",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS s1,
+               CAST(SUM(q * q) AS BIGINT) AS s2,
+               CAST(SUM(q * q * q) AS BIGINT) AS s3,
+               CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+        GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT l_returnflag, n,
+               CAST(s1 AS DOUBLE) / n AS mean,
+               CAST(s2 AS DOUBLE) / n AS md2,
+               CAST(s3 AS DOUBLE) / n AS md3,
+               CAST(s4 AS DOUBLE) / n AS md4
+        FROM s
+    ),
+    m AS (
+        SELECT l_returnflag, n, mean,
+               md2 - mean * mean AS m2,
+               md3 - 3.0 * mean * md2 + 2.0 * mean * mean * mean AS m3,
+               md4 - 4.0 * mean * md3 + 6.0 * mean * mean * md2
+                   - 3.0 * mean * mean * mean * mean AS m4
+        FROM d
+    )
+    SELECT l_returnflag, n, mean,
+           m2 AS variance_pop,
+           m3 / (m2 * SQRT(m2)) AS skewness,
+           m4 / (m2 * m2) - 3.0 AS kurtosis_ex
+    FROM m
+    """,
+    tags=("agg", "stats", "moments"),
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group from exact
+    integer power sums — the 3rd/4th-moment extension of agg_stats.
+    l_quantity values are integral, so q, q², q³, q⁴ sum exactly in
+    64-bit integers (max Σq⁴ ≈ 4e13 at sf1, far under 2⁶³ and under
+    2⁵³ for the double conversion) — the sums are order-insensitive and
+    the moment formulas are elementwise double math on the collapsed
+    scalars, mirrored operation-for-operation in the oracle. sqrt is
+    IEEE-754 correctly-rounded (unlike pow/log, which differ between
+    libm implementations last-ulp), so the skewness normalization is
+    safe cross-engine. One shuffle, map-side partial aggregation."""
+    t = Tables(spark, sf_dir)
+    q = F.col("l_quantity").cast("long")
+    s = t.lineitem.select("l_returnflag", q.alias("q")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    n = F.col("n")
+    d = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1").cast("double") / n).alias("mean"),
+        (F.col("s2").cast("double") / n).alias("md2"),
+        (F.col("s3").cast("double") / n).alias("md3"),
+        (F.col("s4").cast("double") / n).alias("md4"),
+    )
+    mean, md2, md3, md4 = F.col("mean"), F.col("md2"), F.col("md3"), F.col("md4")
+    m = d.select(
+        "l_returnflag",
+        "n",
+        "mean",
+        (md2 - mean * mean).alias("m2"),
+        (md3 - F.lit(3.0) * mean * md2 + F.lit(2.0) * mean * mean * mean).alias("m3"),
+        (
+            md4
+            - F.lit(4.0) * mean * md3
+            + F.lit(6.0) * mean * mean * md2
+            - F.lit(3.0) * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    return m.select(
+        "l_returnflag",
+        "n",
+        "mean",
+        m2.alias("variance_pop"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_ex"),
+    )

@@ -265,3 +265,53 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@register(
+    "embed_centroid",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos,
+               embedding
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT label, pos,
+               CAST(ROUND(CAST(embedding[pos + 1] AS DOUBLE), 6)
+                    AS DECIMAL(12,6)) AS q
+        FROM ex
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) AS centroid
+    FROM cells
+    GROUP BY label, pos
+    """,
+    tags=("similarity", "embedding", "agg"),
+)
+def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (elementwise mean), emitted long
+    format (label, dimension, mean) — the vector-aggregation shape
+    behind IVF training, class prototypes, and drift monitoring.
+    posexplode turns the array column into (label, pos, val) rows and
+    ONE hash aggregate on (label, pos) does the rest — partial map-side
+    sums mean the shuffle carries |labels|x|dims| cells per partition,
+    not rows, so the plan is a straight scale-up to any corpus size
+    (contrast sim_ivf, which collects k x dim centroids to the driver
+    by design for its iterative loop). Determinism: float components
+    are quantized to 6 decimals (ROUND is half-away-from-zero in both
+    engines) and summed as exact DECIMAL(12,6) — order-insensitive —
+    with the 1e-6 quantization bias documented here rather than hidden
+    in last-ulp float-sum nondeterminism."""
+    t = Tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    q = F.round(F.col("val").cast("double"), 6).cast("decimal(12,6)")
+    return (
+        ex.groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(q).cast("double") / F.count(F.lit(1))).alias("centroid"),
+        )
+    )

@@ -245,3 +245,50 @@ def events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "ts_ewma",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "ewma", "sequential"),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 0.25),
+    final value after folding the user's events in time order — the
+    deterministic-sequential-math pattern: floating-point EWMA depends
+    on evaluation ORDER, so it cannot be a plain aggregate; instead the
+    per-key series is collected, totally ordered (ts, event_id), and
+    folded left-to-right with `aggregate` — a sequential IEEE fold both
+    Spark and DuckDB (`list_reduce`) execute identically, bit-for-bit.
+    alpha = 1/4 keeps both weights exactly representable. One shuffle
+    on user_id; the collected array is bounded by per-key cardinality
+    (~10-100 events/user here). For unbounded keys the same fold runs
+    incrementally as `applyInPandasWithState` (see streaming/) — the
+    batch and streaming forms share the recurrence."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    )
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "v"))),
+        lambda s: s["v"],
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), vals.alias("vals"))
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),"
+                " (acc, x) -> acc * 0.75D + x * 0.25D)"
+            ).alias("ewma"),
+        )
+    )
