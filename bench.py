@@ -44,6 +44,10 @@ HEADLINE = (
     "events_pivot",
     "scd2_merge",
     "pipeline_stream_query",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "tpch_q18_large_orders",
+    "text_lm_score",
 )
 
 

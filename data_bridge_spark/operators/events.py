@@ -271,3 +271,67 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, types)
         .select("user_id", *[F.col(c).alias(c) for c in types])
     )
+
+
+_PATH_TOPK = 25
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS l
+        FROM events GROUP BY user_id
+    ),
+    ix AS (
+        SELECT user_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM seqs
+    ),
+    tri AS (
+        SELECT l[i] || '>' || l[i + 1] || '>' || l[i + 2] AS path FROM ix
+    )
+    SELECT path, COUNT(*) AS n
+    FROM tri GROUP BY path
+    ORDER BY n DESC, path ASC
+    LIMIT {_PATH_TOPK}
+    """,
+    tags=("events", "sequence", "pathing"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths: the most frequent 3-event sequences across all
+    user timelines — clickstream path mining (the "what do users do
+    next" query behind funnel design). Each user's events collapse to
+    one ordered array (shuffle on user_id, array bounded by per-user
+    cardinality), trigrams come from zipping the array with its two
+    shifted selves (slice + arrays_zip — pure JVM expressions, same
+    device as text_bigram_lm), and the count + top-k is a map-side-
+    combinable exchange on the path string with a TakeOrdered and a
+    path tiebreak. Paths are strings and counts integers — hash-exact
+    by construction."""
+    t = Tables(spark, sf_dir)
+    seq = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("seq")
+        )
+    )
+    n2 = F.greatest(F.size(F.col("seq")) - 2, F.lit(0))
+    tri = seq.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("seq", 1, n2).alias("a"),
+                F.slice("seq", 2, n2).alias("b"),
+                F.slice("seq", 3, n2).alias("c"),
+            )
+        ).alias("t")
+    ).select(
+        F.concat_ws(">", F.col("t.a"), F.col("t.b"), F.col("t.c")).alias("path")
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(_PATH_TOPK)
+    )

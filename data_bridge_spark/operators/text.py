@@ -295,3 +295,93 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "w1", "w2")
         .limit(50)
     )
+
+
+@register(
+    "text_lm_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS ws FROM documents
+    ),
+    ix AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w
+    ),
+    pairs AS (
+      SELECT doc_id, i, ws[i] AS w1, ws[i + 1] AS w2 FROM ix
+    ),
+    cnt AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT w1, SUM(n_pair) AS n_first FROM cnt GROUP BY w1
+    ),
+    lm AS (
+      SELECT w1, w2, CAST(n_pair AS DOUBLE) / CAST(n_first AS DOUBLE) AS p
+      FROM cnt JOIN tot USING (w1)
+    ),
+    scored AS (
+      SELECT d.doc_id, d.i, lm.p
+      FROM pairs d JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           list_reduce(list(p ORDER BY i), (acc, x) -> acc + x) / COUNT(*) AS avg_p
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("text", "lm", "quality", "llm"),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring: each document's average bigram
+    conditional probability under the corpus's own bigram LM — the
+    KenLM-style model-based filter (low score = unusual/garbled word
+    sequences) that complements the surface heuristics in text_quality.
+    Three-stage plan: (1) build the LM = P(w2|w1) table (two counted
+    shuffles, vocabulary-bounded output — text_bigram_lm's machinery,
+    un-truncated); (2) equi-join every positioned document bigram
+    against it on (w1, w2) — LM side stays distributed, AQE broadcasts
+    it if the vocabulary is small; (3) fold each doc's probabilities in
+    POSITION order (sorted-array fold, same bit-deterministic
+    sequential-sum pattern as ts_ewma) and divide by the bigram count.
+    Probability mean, not log-perplexity, on purpose: log is a libm
+    call whose last ulp differs across engines; the mean ranks
+    documents the same way for filtering purposes."""
+    t = Tables(spark, sf_dir)
+    ws = F.split(F.lower(F.col("text")), " ")
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    pairs = (
+        t.documents.select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.slice(ws, 1, n1).alias("w1"), F.slice(ws, 2, n1).alias("w2")
+                )
+            ).alias("i", "pr"),
+        )
+        .select("doc_id", "i", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    tot = cnt.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
+    lm = cnt.join(tot, "w1").select(
+        "w1",
+        "w2",
+        (F.col("n_pair").cast("double") / F.col("n_first").cast("double")).alias("p"),
+    )
+    scored = pairs.join(lm, ["w1", "w2"])
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "p"))), lambda s: s["p"]
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), vals.alias("vals"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.expr(
+                    "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),"
+                    " (acc, x) -> acc + x)"
+                )
+                / F.col("n_bigrams")
+            ).alias("avg_p"),
+        )
+    )
