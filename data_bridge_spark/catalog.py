@@ -84,17 +84,25 @@ class Tables:
         return self._cache[name]
 
     def _read_events(self, path: str) -> DataFrame:
-        """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        rejects; read nanos as long (legacy conf) and rebuild a
-        TimestampNTZ at microsecond precision — the same floor-to-micros
-        DuckDB applies when fetching ns timestamps."""
+        """Normalize events.ts to TIMESTAMP_NTZ at microsecond precision.
+
+        The generator has written ts as either TIMESTAMP(NANOS) — which
+        Spark's reader rejects unless nanos are read as long (legacy
+        conf) and rebuilt, flooring to micros exactly as DuckDB does when
+        fetching ns timestamps — or plain TIMESTAMP(MICROS). Branch on
+        the scanned type so both vintages of the testdata read
+        identically."""
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn(
+                "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):
