@@ -32,6 +32,34 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame, as_ntz: bool = True) -> DataFrame:
+    """Normalize events.ts to microsecond precision across data vintages.
+
+    The testdata generator has written ts as either TIMESTAMP(NANOS) —
+    which Spark's reader rejects unless nanos are read as long (legacy
+    ``spark.sql.legacy.parquet.nanosAsLong``) and rebuilt, flooring to
+    micros exactly as DuckDB does when fetching ns timestamps — or plain
+    TIMESTAMP(MICROS)/NTZ. Branch on the scanned type so both vintages
+    read identically, for batch and streaming scans alike. Floor division
+    is done as ``(ts - pmod(ts, 1000)) DIV 1000`` — exact integer
+    arithmetic that floors for negative (pre-epoch) nanos too, where a
+    bare ``DIV`` would truncate toward zero and drift 1µs from DuckDB.
+
+    ``as_ntz=True`` (batch/oracle path) yields TIMESTAMP_NTZ to match
+    DuckDB's naive timestamps; ``as_ntz=False`` yields TIMESTAMP, which
+    watermarks/event-time require (the session tz is pinned UTC, so the
+    two render identical instants)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    target = "timestamp_ntz" if as_ntz else "timestamp"
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        micros = "timestamp_micros((ts - pmod(ts, 1000L)) DIV 1000)"
+        return df.withColumn("ts", F.expr(f"CAST({micros} AS {target})"))
+    return df.withColumn("ts", F.col("ts").cast(target))
+
+
 # Post-scan widening: the test parquet files are single-row-group, so the
 # scan is one task no matter spark.sql.files.maxPartitionBytes — every
 # downstream expression would run on one core. Files in this size band get
@@ -84,25 +112,8 @@ class Tables:
         return self._cache[name]
 
     def _read_events(self, path: str) -> DataFrame:
-        """Normalize events.ts to TIMESTAMP_NTZ at microsecond precision.
-
-        The generator has written ts as either TIMESTAMP(NANOS) — which
-        Spark's reader rejects unless nanos are read as long (legacy
-        conf) and rebuilt, flooring to micros exactly as DuckDB does when
-        fetching ns timestamps — or plain TIMESTAMP(MICROS). Branch on
-        the scanned type so both vintages of the testdata read
-        identically."""
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = self.spark.read.parquet(path)
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            return df.withColumn(
-                "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-            )
-        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return normalize_event_ts(self.spark.read.parquet(path))
 
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):

@@ -51,7 +51,7 @@ def agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(c_custkey)) AS customer_ids,
+           array_to_string(list_sort(list(c_custkey)), ',') AS customer_ids,
            string_agg(c_mktsegment, ',' ORDER BY c_custkey) AS segments
     FROM customer
     WHERE c_nationkey <= 5
@@ -62,13 +62,19 @@ def agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates with deterministic order: collect_list is
     partition-order-dependent, so the array is sorted (and the string agg
-    ordered by key) before leaving the operator."""
+    ordered by key) before leaving the operator.  The sorted id array is
+    serialized to a CSV string at the output edge: the driver's value
+    canonicalizer sorts pandas object columns, and raw Python lists are
+    unhashable there (r3 driver error) — the collect/sort semantics under
+    test are unchanged."""
     t = Tables(spark, sf_dir)
     return (
         t.customer.filter(F.col("c_nationkey") <= 5)
         .groupBy("c_nationkey")
         .agg(
-            F.array_sort(F.collect_list("c_custkey")).alias("customer_ids"),
+            F.array_join(F.array_sort(F.collect_list("c_custkey")), ",").alias(
+                "customer_ids"
+            ),
             F.array_join(
                 F.transform(
                     F.array_sort(

@@ -331,7 +331,7 @@ def sim_cosine_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(list_filter(ws, w -> len(w) > 4)) AS INT) AS n_long,
            CAST(list_reduce(list_prepend(0, list_transform(ws, w -> len(w))), (a, b) -> a + b) AS BIGINT) AS total_chars,
-           list_transform(list_filter(ws, w -> len(w) > 4), w -> upper(w)) AS long_upper
+           array_to_string(list_transform(list_filter(ws, w -> len(w) > 4), w -> upper(w)), '|') AS long_upper
     FROM toks
     """,
     tags=("scalar", "array", "hof"),
@@ -342,7 +342,10 @@ def scalar_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploding row counts or leaving whole-stage codegen, the idiom that
     replaces a Python tokenize-UDF loop at 100 TB.  The fold seeds with a
     long 0 so the sum is integer arithmetic end-to-end; DuckDB mirrors
-    with list lambdas."""
+    with list lambdas.  The transformed array is serialized to a '|'
+    joined string at the output edge: the driver's canonicalizer cannot
+    sort list-valued pandas columns (r3 driver error), and the HOF chain
+    under test runs before the join."""
     t = Tables(spark, sf_dir)
     ws = F.split(F.lower(F.col("text")), " ")
     long_words = F.filter(ws, lambda w: F.length(w) > 4)
@@ -354,5 +357,7 @@ def scalar_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda a, b: a + b,
         ).alias("total_chars"),
-        F.transform(long_words, lambda w: F.upper(w)).alias("long_upper"),
+        F.array_join(F.transform(long_words, lambda w: F.upper(w)), "|").alias(
+            "long_upper"
+        ),
     )

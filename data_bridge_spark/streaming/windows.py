@@ -20,24 +20,22 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table.
 
-    The parquet stores TIMESTAMP(NANOS) (see catalog._read_events), so the
-    stream reads ts as raw long nanos and rebuilds a microsecond
-    TimestampType — watermarks need an instant-typed column.
+    The testdata generator has written ts as TIMESTAMP(NANOS) (read as
+    raw long nanos via the legacy conf) or TIMESTAMP(MICROS), depending
+    on vintage — so the stream schema is taken from a batch footer read
+    of the same file, and ``catalog.normalize_event_ts`` rebuilds a
+    microsecond TIMESTAMP_NTZ either way (watermarks need an
+    instant-typed column, and batch/stream twins must agree on ts).
 
     nanosAsLong is a session conf with no per-scan equivalent, and it is
     read when the stream executes — it cannot be set/restored around
     ``load()``. It is deliberately left session-pinned, to the SAME value
-    the batch catalog pins in ``Tables.__init__`` (so batch reads of the
-    events table behave identically); every other parquet table in the
-    testdata has no nanos column and is unaffected.
+    the batch catalog pins (so batch reads of the events table behave
+    identically); every other parquet table in the testdata has no nanos
+    column and is unaffected.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file streaming source wants a directory; stage a symlink dir
@@ -46,14 +44,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # StreamingQuery built on the returned plan reads it until stopped.
     import os
 
+    from data_bridge_spark.catalog import normalize_event_ts
     from data_bridge_spark.util import tracked_tempdir
 
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    schema = spark.read.parquet(src).schema
     staging = tracked_tempdir("dbs_stream_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(staging, "events.parquet")
-    )
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(staging)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    os.symlink(src, os.path.join(staging, "events.parquet"))
+    raw = spark.readStream.schema(schema).format("parquet").load(staging)
+    return normalize_event_ts(raw, as_ntz=False)
 
 
 def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

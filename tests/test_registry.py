@@ -75,6 +75,24 @@ def test_survey_inventory_names_present():
     assert not missing, f"SURVEY §2 names missing from registry: {missing}"
 
 
+def test_no_list_typed_output_on_oracled_queries(spark, sf_dir):
+    """The driver canonicalizes results in pandas and sorts value columns;
+    Python lists/dicts are unhashable there, so an oracled query must never
+    emit a raw array/map column (r3: scalar_hof + agg_collect crashed the
+    driver this way).  Serialize collections to strings at the output edge."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    offenders = []
+    for name, q in load_all().items():
+        if q.oracle is None:
+            continue
+        df = q.fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"oracled queries with list-typed output: {offenders}"
+
+
 def test_entry_runs_flagship(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

@@ -7,8 +7,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from data_bridge_spark.catalog import normalize_event_ts
 from data_bridge_spark.streaming.stateful import stream_user_totals
-from data_bridge_spark.streaming.windows import EVENTS_SCHEMA
 
 
 @pytest.fixture()
@@ -34,13 +34,14 @@ def two_batch_source(spark, sf_dir, tmp_path):
 
 
 def test_state_accumulates_across_batches(spark, sf_dir, two_batch_source):
+    schema = spark.read.parquet(two_batch_source).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .format("parquet")
         .load(two_batch_source)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = normalize_event_ts(raw, as_ntz=False)
     out = stream_user_totals(events)
     q = (
         out.writeStream.outputMode("update")

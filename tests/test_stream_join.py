@@ -9,9 +9,10 @@ from data_bridge_spark.streaming.windows import read_events_stream, run_to_memor
 
 
 def _batch_events(spark, sf_dir):
+    from data_bridge_spark.catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"), as_ntz=False)
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir):

@@ -12,8 +12,8 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from data_bridge_spark.catalog import normalize_event_ts
 from data_bridge_spark.streaming.stateful import stream_user_totals
-from data_bridge_spark.streaming.windows import EVENTS_SCHEMA
 
 
 def _write_half(spark, sf_dir, flat, which):
@@ -29,8 +29,12 @@ def _write_half(spark, sf_dir, flat, which):
 
 def _run_once(spark, flat, ckpt, name):
     # memory sink can't recover from a checkpoint; foreachBatch can
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(flat)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = (
+        spark.readStream.schema(spark.read.parquet(flat).schema)
+        .format("parquet")
+        .load(flat)
+    )
+    events = normalize_event_ts(raw, as_ntz=False)
     emitted: list = []
 
     def sink(batch_df, epoch_id):
