@@ -99,15 +99,32 @@ def main() -> None:
     # Sub-second queries get extra samples — at that scale scheduler
     # jitter is ±0.15 s, which min-of-2 doesn't filter (the r2 bench's
     # one "regression", text_quality +0.14 s, was exactly this).
+    # Several operators localCheckpoint intermediate tables (LSH band
+    # tables, CC/PageRank loop states, the bigram-LM pair relation); every
+    # fn() call creates fresh blocks that outlive the query, so a 26-query
+    # sweep accumulates gigabytes of dead blocks and the LAST queries pay
+    # the GC bill (r3: text_lm_score 6.9 s under the driver vs 2.5 s on a
+    # clean session).  Dropping dead persisted RDDs between queries
+    # isolates each timing without hiding any per-query checkpoint cost —
+    # each sample still creates and pays for its own blocks.
+    def _drop_dead_blocks() -> None:
+        try:
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist(False)
+        except Exception:
+            spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         samples: list[float] = []
         while len(samples) < 2 or (min(samples) < 1.0 and len(samples) < 4):
+            _drop_dead_blocks()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 3)
+    _drop_dead_blocks()
 
     total = round(sum(timings.values()), 3)
     out = {

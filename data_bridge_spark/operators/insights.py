@@ -105,30 +105,40 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 analogue (local supplier volume): revenue by nation where
     the customer and the line's supplier share a nation, restricted to
-    one region and a date window. Six-table star-ish join: the two fact
-    joins shuffle on custkey/orderkey; supplier, nation, region are
-    broadcast (supplier is 10k rows/SF — broadcastable far beyond sf1);
-    the c_nationkey = s_nationkey co-location predicate rides the
-    supplier broadcast join, so no extra shuffle. This is the join-order
-    stress query: expressed declaratively, Catalyst + AQE pick the order
-    at runtime stats, which is the 100 TB answer."""
+    one region and a date window. Six-table star-ish join, ordered so the
+    most selective dim filter lands on the biggest fact FIRST: the
+    region→nation→supplier chain collapses to a broadcast-able
+    "ASIA suppliers" dim (10k rows/SF), lineitem broadcast-joins against
+    it before anything shuffles — only ~1/5 of lineitem (one region's
+    suppliers) survives into the orderkey exchange, and the custkey
+    exchange carries the c_nationkey = s_nationkey co-location predicate.
+    Catalyst can't derive this reorder without CBO stats (the region
+    filter only reaches supplier through two dim joins), so the plan
+    states it; AQE still skew-splits the remaining fact shuffles. Cuts
+    the shuffled bytes ~5× vs filtering after the fact joins — the gap
+    widens with scale."""
     t = Tables(spark, sf_dir)
     orders = t.orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
-    return (
-        t.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(
-            F.broadcast(t.supplier),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+    asia_sup = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
         )
-        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
             F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
             F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        t.lineitem.join(F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.customer,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

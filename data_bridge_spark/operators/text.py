@@ -358,6 +358,11 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("i", "pr"),
         )
         .select("doc_id", "i", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        # consumed twice (LM build + scoring join): checkpoint so the
+        # scan+tokenize+explode runs once, same pattern as the LSH band
+        # table (dedup.py); at cluster scale this becomes a persisted
+        # signature/pair table (SCALE.md)
+        .localCheckpoint(eager=False)
     )
     cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     tot = cnt.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
