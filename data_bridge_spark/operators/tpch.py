@@ -9,8 +9,14 @@ pure pushdown scan-agg (Q6), multi-fact nation-pair join with an OR
 pair predicate (Q7), returned-revenue top-k (Q10), conditional
 line counts (Q12), left-outer count distribution (Q13), conditional
 ratio (Q14), decorrelated per-group-average subquery (Q17),
-HAVING-on-sum semi-join (Q18), and scalar-subquery + anti-join
-(Q22). All double aggregation goes through functions/exact.py
+HAVING-on-sum semi-join (Q18), scalar-subquery + anti-join (Q22),
+EXISTS-as-semi-join (Q4), the 8-table conditional-ratio join (Q8),
+two-term profit aggregate (Q9), view + scalar-subquery max (Q15),
+OR-of-conjunctions pushdown splitting (Q19), and the EXISTS + NOT
+EXISTS double self-join (Q21). Q2/Q11/Q16/Q20 need a partsupp table
+this schema does not have and are out of scope (no analogue carries
+their plan shape without it). All double aggregation goes through
+functions/exact.py
 decimal machinery (see that module's docstring for the 2^53 /
 double-rounding rules the oracles rely on).
 """
@@ -495,4 +501,364 @@ def tpch_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "tpch_q4_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch", "semi", "agg"),
+)
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue (order priority checking): orders in one
+    quarter that have at least one problem line, counted by priority.
+    The schema has no l_commitdate/l_receiptdate, so "problem line"
+    is re-targeted at l_returnflag = 'R'; the plan shape Q4 exists to
+    exercise — EXISTS decorrelated to a left-semi join against a
+    pre-filtered fact — is preserved. The date window pushes into the
+    orders scan, the returnflag filter into the lineitem scan, and the
+    semi-join shuffles only orderkeys + the priority column, never
+    widening rows (semi-join output ≤ orders input)."""
+    t = Tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    problem = t.lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(problem, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH sales AS (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(15,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(8,4))) AS amount,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN amount
+                              ELSE CAST(0 AS DECIMAL(23,8)) END)
+                     AS DECIMAL(18,6)) AS DOUBLE)
+           / CAST(CAST(SUM(amount) AS DECIMAL(18,6)) AS DOUBLE) AS mkt_share
+    FROM sales
+    GROUP BY o_year
+    """,
+    tags=("tpch", "join", "agg", "share"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analogue (national market share): one supplier nation's
+    share of PROMO-part revenue sold into one region, by order year —
+    the 8-table join with a conditional-ratio aggregate. Join order is
+    stated selective-first, same doctrine as Q5: part (filtered to one
+    type, broadcast) lands on lineitem before any shuffle, then orders
+    (shuffle on orderkey), then customer (shuffle on custkey) whose
+    nation→region chain is a pre-collapsed broadcast, then the supplier
+    nation broadcast. Share = two exact decimal sums per group (the
+    conditional sum keeps decimal type via a typed zero), one double
+    division at the edge."""
+    t = Tables(spark, sf_dir)
+    amount = dmoney("l_extendedprice") * (1 - dfactor("l_discount"))
+    promo = t.part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    america_cust = (
+        t.customer.join(
+            F.broadcast(
+                t.nation.join(
+                    F.broadcast(t.region.filter(F.col("r_name") == "AMERICA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = t.supplier.join(
+        F.broadcast(
+            t.nation.select(
+                F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    zero = F.lit(0).cast("decimal(23,8)")
+    return (
+        t.lineitem.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(america_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", amount).otherwise(zero))
+                .cast("decimal(18,6)")
+                .cast("double")
+                / F.sum(amount).cast("decimal(18,6)").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(18,6))
+                AS DOUBLE)
+           - CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(15,4))
+                           * CAST(0.6 AS DECIMAL(8,4))
+                           * CAST(l.l_quantity AS DECIMAL(10,0))) AS DECIMAL(18,6))
+                  AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE 'red %'
+    GROUP BY n.n_name, o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue (product-type profit): profit by supplier
+    nation and order year over one product family. The schema has no
+    partsupp, so supply cost is modeled as 60% of p_retailprice (the
+    LIKE-filtered multi-fact join + two-term profit aggregate is the
+    plan shape under test; 'red %' replaces '%green%' — p_name here is
+    'color noun'). Revenue and cost are summed as SEPARATE exact
+    decimal aggregates, each collapsed to scale 6 (true scales ≤4 and
+    ≤3) before the double cast, subtracted at the edge — keeping every
+    product inside both engines' exact-decimal width (15,4 × 8,4 and
+    the quantity factor at (10,0): integral by construction).
+    Filtered part broadcasts onto lineitem pre-shuffle, as in Q5/Q8."""
+    t = Tables(spark, sf_dir)
+    red_part = t.part.filter(F.col("p_name").like("red %")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = t.supplier.join(
+        F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    revenue = dmoney("l_extendedprice") * (1 - dfactor("l_discount"))
+    cost = (
+        dmoney("p_retailprice")
+        * F.lit(0.6).cast("decimal(8,4)")
+        * F.col("l_quantity").cast("decimal(10,0)")
+    )
+    return (
+        t.lineitem.join(F.broadcast(red_part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(revenue).cast("decimal(18,6)").cast("double")
+                - F.sum(cost).cast("decimal(18,6)").cast("double")
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH srev AS (
+        SELECT l_suppkey,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+                             * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(18,6))
+                    AS DOUBLE) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_rev
+    FROM srev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM srev)
+    """,
+    tags=("tpch", "agg", "subquery", "topk"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) achieving the maximum
+    quarterly revenue — the view-plus-scalar-subquery pattern. The
+    revenue "view" is one shuffled aggregate on suppkey; the max is a
+    1-row aggregate over it broadcast back as a filter (ties all
+    surface, per the spec). Exact decimal revenue means the equality
+    against the max is bit-stable in both engines — a double==double
+    comparison that is actually safe, because both sides came from the
+    same exact decimal. The view is checkpointed so the per-supplier
+    aggregate computes once, not once per consumer."""
+    t = Tables(spark, sf_dir)
+    srev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_rev().alias("total_rev"))
+        .localCheckpoint(eager=False)
+    )
+    mx = srev.agg(F.max("total_rev").alias("mx"))
+    return (
+        srev.join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "total_rev",
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(18,6))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    tags=("tpch", "join", "disjunctive"),
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue (discounted revenue, disjunctive brackets):
+    the OR-of-conjunctions predicate that stresses pushdown splitting.
+    Catalyst derives the common single-sided implications — p_brand IN
+    (…) reaches the part scan, l_quantity BETWEEN 1 AND 30 the lineitem
+    scan — while the full cross-table OR evaluates on the join output;
+    the join itself stays a broadcast hash join on partkey (part is the
+    small side), never a nested loop. One exact-decimal product-sum out
+    (no p_container in this schema; brand × size × quantity brackets
+    carry the shape)."""
+    t = Tables(spark, sf_dir)
+    joined = t.lineitem.join(
+        F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return joined.filter(bracket).agg(
+        _rev().alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+@register(
+    "tpch_q21_waiting",
+    oracle="""
+    SELECT s.s_name AS name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, name ASC
+    LIMIT 20
+    """,
+    tags=("tpch", "semi", "anti", "self-join", "topk"),
+)
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue (suppliers who kept orders waiting): in
+    finalized orders, the supplier whose line was the ONLY problem line
+    while other suppliers were involved — EXISTS + NOT EXISTS against
+    the same fact, the double-self-join shape. No l_receiptdate /
+    l_commitdate in this schema, so "problem" is l_returnflag = 'R'.
+    Both subqueries decorrelate to semi/anti joins on orderkey with the
+    suppkey inequality as a residual condition — three scans of
+    lineitem co-shuffled on the same key (one exchange shape, AQE
+    reuses it), never a per-row subquery loop. Top-20 with a name
+    tiebreak via TakeOrdered."""
+    t = Tables(spark, sf_dir)
+    l1 = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l1")
+    )
+    others = t.lineitem.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).alias("l2")
+    other_problems = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+        .alias("l3")
+    )
+    final_orders = t.orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("k2")) & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            other_problems,
+            (F.col("l1.l_orderkey") == F.col("k3")) & (F.col("l1.l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(final_orders, F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(t.supplier), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("name"))
+        .limit(20)
     )
