@@ -315,3 +315,80 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(q).cast("double") / F.count(F.lit(1))).alias("centroid"),
         )
     )
+
+
+@register(
+    "embed_quantize",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS max_abs
+        FROM base
+    ),
+    errs AS (
+        SELECT vec_id, max_abs,
+               CAST(len(v) AS INT) AS dim,
+               CASE WHEN max_abs = 0 THEN NULL
+                    ELSE list_transform(v, x ->
+                        abs(x - round(x / max_abs * 127.0) * max_abs / 127.0))
+               END AS e
+        FROM scaled
+    )
+    SELECT vec_id, dim,
+           CAST(max_abs AS DOUBLE) AS scale,
+           COALESCE(list_max(e), 0.0) AS max_err,
+           COALESCE(list_reduce(list_prepend(0.0,
+               list_transform(e, x -> x * x)), (a, b) -> a + b), 0.0)
+             / dim AS mse
+    FROM errs
+    """,
+    tags=("similarity", "embedding", "quantize"),
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit for an embedding column: per
+    vector, the max-abs scale, worst reconstruction error, and MSE of
+    round(x/scale*127) de-quantized back — the compression step a
+    100 TB vector corpus takes before ANN serving (4x smaller, cache-
+    resident), with the error surface kept queryable so a pipeline can
+    gate on quantization loss. Pure per-row array expressions (zero
+    shuffle, whole-stage codegen, scales linearly); the sequential
+    error fold runs in array order in both engines, and every
+    arithmetic step is the same IEEE double sequence, so the oracle
+    hash-matches without decimal quantization (same determinism
+    contract sim_cosine_pair already proves). Zero vectors degrade to
+    zero error rather than NaN."""
+    t = Tables(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = t.embeddings.select("vec_id", v.alias("v"))
+    max_abs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scaled = base.select(
+        "vec_id", "v", max_abs.alias("max_abs"), F.size("v").alias("dim")
+    )
+    recon_err = lambda x: F.abs(
+        x - F.round(x / F.col("max_abs") * 127.0) * F.col("max_abs") / 127.0
+    )
+    errs = scaled.select(
+        "vec_id",
+        "max_abs",
+        "dim",
+        F.when(F.col("max_abs") == 0, F.lit(None)).otherwise(
+            F.transform(F.col("v"), recon_err)
+        ).alias("e"),
+    )
+    sq_sum = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return errs.select(
+        "vec_id",
+        "dim",
+        F.col("max_abs").alias("scale"),
+        F.coalesce(F.array_max("e"), F.lit(0.0)).alias("max_err"),
+        (F.coalesce(sq_sum, F.lit(0.0)) / F.col("dim")).alias("mse"),
+    )

@@ -118,3 +118,64 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         current, updates, "c_custkey", ["c_mktsegment", "c_acctbal"], _AS_OF
     )
+
+
+# FK edges of the test schema: (edge label, child table, child key,
+# parent table, parent key). lineitem/orders child sides are fact-sized
+# (shuffle anti-join); the dim parents broadcast.
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{label}' AS edge,
+           COUNT(*) AS n_child,
+           COUNT(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey}
+           )) AS n_orphans
+    FROM {child} c
+    """
+        for label, child, ckey, parent, pkey in _FK_EDGES
+    ),
+    tags=("warehouse", "dq", "anti", "audit"),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: per FK edge, child rowcount and
+    orphan count (child keys with no parent) — the pre-flight check a
+    warehouse load or training-data join pipeline runs before trusting
+    its joins. Each edge is one left join against the DISTINCT parent
+    keys with a match marker, aggregated to a single row — dim parents
+    broadcast, fact parents hash-join; counts are map-side partials, so
+    per edge the shuffle carries one row per partition. The edges union
+    into one result, and the whole audit is a single lazy plan (one
+    pass per edge — at 100 TB you run it on the tables you're about to
+    join, not the whole lake)."""
+    t = Tables(spark, sf_dir)
+    parts = []
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        parent_keys = (
+            getattr(t, parent).select(F.col(pkey).alias("__pk")).distinct()
+        )
+        joined = getattr(t, child).select(F.col(ckey).alias("__ck")).join(
+            parent_keys, F.col("__ck") == F.col("__pk"), "left"
+        )
+        parts.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count_if(F.col("__pk").isNull()).alias("n_orphans"),
+            ).select(F.lit(label).alias("edge"), "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
