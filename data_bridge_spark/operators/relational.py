@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
-from data_bridge_spark.functions.exact import davg, dsum
+from data_bridge_spark.functions.exact import davg, dec, dsum
 from data_bridge_spark.functions.templating import render_sql
 from data_bridge_spark.registry import register
 
@@ -46,26 +46,49 @@ def flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the reference's `example_stream` admin-report shape
     (reference sample.config.yaml:115-122 — fact x fact x dim join, filter,
     multi-measure group-by) on the TPC-H-ish tables: revenue by nation and
-    order priority. Scan→filter→join→agg→(driver sorts)."""
+    order priority. Scan→filter→join→agg→(driver sorts).
+
+    Lineitem is PRE-AGGREGATED on orderkey before the joins: all three
+    line measures (count, qty sum, revenue sum) are additive, so the
+    per-order partials carry the same information in ~1/4 the rows
+    through both fact shuffles (every join key and group key is at order
+    grain or coarser). The per-line COUNT/SUM of o_totalprice is
+    recovered exactly as o_totalprice × line-count, with the count
+    conditional on non-null o_totalprice to preserve COUNT(col)
+    semantics. Exact decimal partials re-aggregate losslessly — this is
+    the partial-aggregation-below-join rewrite that Spark does not apply
+    automatically (only map-side partials of the FINAL aggregate), and
+    at 100 TB it is the difference between shuffling lineitem twice and
+    shuffling orders-grain rows twice."""
     t = Tables(spark, sf_dir)
     li = t.lineitem.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("l_quantity")).alias("qty_part"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(15,4)")
+            * (1 - F.col("l_discount").cast("decimal(8,4)"))
+        ).alias("rev_part"),
+    )
     orders = t.orders.filter(F.col("o_orderstatus") != "F")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(t.customer, orders.o_custkey == F.col("c_custkey"))
+        per_order.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(t.customer.select("c_custkey", "c_nationkey"),
+              orders.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("priority"))
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            dsum("l_quantity", "sum_qty"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(15,4)")
-                * (1 - F.col("l_discount").cast("decimal(8,4)"))
-            )
-            .cast("decimal(18,6)")
-            .cast("double")
-            .alias("revenue"),
-            davg("o_totalprice", "avg_order_price"),
+            F.sum("cnt").alias("n_items"),
+            F.sum("qty_part").cast("double").alias("sum_qty"),
+            F.sum("rev_part").cast("decimal(18,6)").cast("double").alias("revenue"),
+            (
+                F.sum(dec("o_totalprice") * F.col("cnt")).cast("double")
+                / F.sum(
+                    F.when(F.col("o_totalprice").isNotNull(), F.col("cnt")).otherwise(
+                        F.lit(0)
+                    )
+                )
+            ).alias("avg_order_price"),
         )
     )
 
