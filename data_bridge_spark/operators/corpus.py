@@ -194,3 +194,48 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rk")
     )
+
+
+@register(
+    "corpus_mix_report",
+    oracle="""
+    WITH strata AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+               CAST(SUM(len(string_split(text, ' ')) ) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_chars, total_tokens,
+           CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share,
+           CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER () AS token_share
+    FROM strata
+    """,
+    tags=("corpus", "mlprep", "report"),
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per (source, lang) stratum — doc count, char and
+    whitespace-token volume, and each stratum's share of docs and tokens.
+    What a training run records next to its data mix, and what the
+    temperature-weights op (mlprep.mix_temperature_weights) consumes.
+    One map-side-combinable aggregate over the corpus (token counts are
+    per-row `size(split(...))` — no explode, no Python), then window
+    normalization over the tiny strata table. Shares are integer/integer
+    IEEE divisions — bit-identical across engines."""
+    t = Tables(spark, sf_dir)
+    strata = t.documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("total_tokens"),
+    )
+    w = W.partitionBy()
+    return strata.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("doc_share"),
+        (F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)).alias(
+            "token_share"
+        ),
+    )

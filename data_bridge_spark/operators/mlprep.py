@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
@@ -383,4 +383,112 @@ def mlprep_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias("copy_idx"),
         )
+    )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "shard_assignment",
+    oracle=f"""
+    WITH sharded AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(MD5('shard-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_N_SHARDS} AS shard
+        FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM sharded
+    GROUP BY shard
+    """,
+    tags=("mlprep", "sharding"),
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding: every document hashes to one of N
+    shards (content hash, not round-robin — reproducible across reruns
+    and insensitive to input order/partitioning), reported as per-shard
+    balance stats. This is the "write the corpus as N independent,
+    balanced training shards" step; the writer form is
+    ``df.repartition(N, shard).write`` — one shuffle on the shard key —
+    and the hash guarantees the same doc always lands in the same shard
+    so shard-level dedup/resume stays valid. The stats here aggregate
+    map-side (one exchange of N×partitions cells) and oracle-check the
+    balance: uniform hash → shards within a few % of each other."""
+    t = Tables(spark, sf_dir)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard-"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _N_SHARDS
+    )
+    return (
+        t.documents.select("doc_id", "n_chars", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+_MIX_ALPHA = 0.7  # temperature exponent: p_i ∝ n_i^alpha flattens big sources
+
+
+@register(
+    "mix_temperature_weights",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, lang, COUNT(*) AS n_docs
+        FROM documents GROUP BY source, lang
+    ),
+    powed AS (
+        SELECT source, lang, n_docs,
+               ROUND(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}), 6) AS w_raw
+        FROM counts
+    )
+    SELECT source, lang, n_docs, w_raw,
+           w_raw / SUM(w_raw) OVER () AS p_sample
+    FROM powed
+    """,
+    tags=("mlprep", "mixing", "temperature"),
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights over (source, lang) strata:
+    p_i ∝ n_i^alpha with alpha=0.7 — the standard flattening that keeps
+    big web crawls from drowning small high-quality sources in an LLM
+    pretraining mix. One map-side-combinable count per stratum, then the
+    normalization constant via an unpartitioned window over the tiny
+    strata table (|sources|×|langs| rows — the window never sees corpus-
+    sized data). POW is a libm call whose last ulp can differ across
+    engines, so the raw weight is rounded to 6 decimals BEFORE the
+    normalizing division (same determinism policy as embed_centroid);
+    the division itself is then bit-identical IEEE on both sides."""
+    t = Tables(spark, sf_dir)
+    counts = t.documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    powed = counts.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.round(F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA)), 6).alias(
+            "w_raw"
+        ),
+    )
+    w = Window.partitionBy()
+    return powed.select(
+        "source",
+        "lang",
+        "n_docs",
+        "w_raw",
+        (F.col("w_raw") / F.sum("w_raw").over(w)).alias("p_sample"),
     )
