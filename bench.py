@@ -48,6 +48,11 @@ HEADLINE = (
     "tpch_q5_local_volume",
     "tpch_q18_large_orders",
     "text_lm_score",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q21_waiting",
+    "fk_integrity_audit",
+    "embed_quantize",
 )
 
 
