@@ -153,29 +153,47 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: per FK edge, child rowcount and
     orphan count (child keys with no parent) — the pre-flight check a
     warehouse load or training-data join pipeline runs before trusting
-    its joins. Each edge is one left join against the DISTINCT parent
-    keys with a match marker, aggregated to a single row — dim parents
-    broadcast, fact parents hash-join; counts are map-side partials, so
-    per edge the shuffle carries one row per partition. The edges union
-    into one result, and the whole audit is a single lazy plan (one
-    pass per edge — at 100 TB you run it on the tables you're about to
-    join, not the whole lake)."""
+    its joins. Edges sharing a child table are FUSED onto one scan: the
+    three lineitem edges ride a single pass (three chained 1:≤1 left
+    joins against DISTINCT parent keys — orders hash-join, part/supplier
+    broadcast — then one aggregate unpivoted to edge rows via stack).
+    At 100 TB the audit is scan-bound, so one read of the biggest fact
+    instead of three is the number that matters; the remaining edges are
+    one left join + 1-row aggregate each, and everything unions into a
+    single lazy plan."""
     t = Tables(spark, sf_dir)
-    parts = []
-    for label, child, ckey, parent, pkey in _FK_EDGES:
+    li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+    ok = t.orders.select(F.col("o_orderkey").alias("__ok")).distinct()
+    pk = t.part.select(F.col("p_partkey").alias("__pk")).distinct()
+    sk = t.supplier.select(F.col("s_suppkey").alias("__sk")).distinct()
+    li_joined = (
+        li.join(ok, F.col("l_orderkey") == F.col("__ok"), "left")
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("__pk"), "left")
+        .join(F.broadcast(sk), F.col("l_suppkey") == F.col("__sk"), "left")
+    )
+    out = li_joined.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.count_if(F.col("__ok").isNull()).alias("o_orph"),
+        F.count_if(F.col("__pk").isNull()).alias("p_orph"),
+        F.count_if(F.col("__sk").isNull()).alias("s_orph"),
+    ).selectExpr(
+        """stack(3,
+           'lineitem.l_orderkey->orders', n_child, o_orph,
+           'lineitem.l_partkey->part', n_child, p_orph,
+           'lineitem.l_suppkey->supplier', n_child, s_orph
+        ) AS (edge, n_child, n_orphans)"""
+    )
+    for label, child, ckey, parent, pkey in _FK_EDGES[3:]:
         parent_keys = (
             getattr(t, parent).select(F.col(pkey).alias("__pk")).distinct()
         )
         joined = getattr(t, child).select(F.col(ckey).alias("__ck")).join(
             parent_keys, F.col("__ck") == F.col("__pk"), "left"
         )
-        parts.append(
+        out = out.unionByName(
             joined.agg(
                 F.count(F.lit(1)).alias("n_child"),
                 F.count_if(F.col("__pk").isNull()).alias("n_orphans"),
             ).select(F.lit(label).alias("edge"), "n_child", "n_orphans")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
     return out
