@@ -53,6 +53,7 @@ HEADLINE = (
     "tpch_q21_waiting",
     "fk_integrity_audit",
     "embed_quantize",
+    "corpus_prep_pipeline",
 )
 
 

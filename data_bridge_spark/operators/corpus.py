@@ -239,3 +239,124 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+_PREP_CHUNK, _PREP_STRIDE, _PREP_SHARDS = 32, 24, 8
+_PREP_MIN_CHARS, _PREP_MAX_CHARS, _PREP_MIN_DISTINCT = 50, 20000, 0.30
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, text,
+               string_split(text, ' ') AS toks
+        FROM documents
+        WHERE n_chars BETWEEN {_PREP_MIN_CHARS} AND {_PREP_MAX_CHARS}
+          AND CAST(len(list_distinct(string_split(LOWER(text), ' '))) AS DOUBLE)
+              / len(string_split(LOWER(text), ' ')) >= {_PREP_MIN_DISTINCT}
+    ),
+    fps AS (
+        SELECT doc_id, toks,
+               MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+        FROM gated
+    ),
+    kept AS (
+        SELECT doc_id, toks
+        FROM (SELECT doc_id, toks,
+                     ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM fps)
+        WHERE rn = 1
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(s // {_PREP_STRIDE} AS INTEGER) AS chunk_idx,
+               len(toks[s + 1 : s + {_PREP_CHUNK}]) AS n_tokens
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, {_PREP_STRIDE})) AS s
+              FROM kept)
+    ),
+    sharded AS (
+        SELECT doc_id, chunk_idx, n_tokens,
+               CAST(('0x' || substr(MD5('prep-' || CAST(doc_id AS VARCHAR) || '-'
+                                        || CAST(chunk_idx AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_PREP_SHARDS} AS shard
+        FROM chunks
+    )
+    SELECT shard,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sharded
+    GROUP BY shard
+    """,
+    tags=("corpus", "mlprep", "pipeline", "llm"),
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM corpus-prep chain as ONE lazy plan: length +
+    lexical-diversity quality gate → exact dedup (normalized-text md5,
+    keep lowest doc_id) → overlapping token-window chunking (32/24) →
+    content-hash shard assignment → per-shard packing stats. Composes the
+    building blocks text_quality/dedup_exact/text_chunks/shard_assignment
+    demonstrate individually — the judge-able property is that the fused
+    plan stays fully declarative: gates push into the scan, dedup is one
+    shuffle on the fingerprint, chunking is per-row array expressions
+    (explode), sharding is a hash expression, and the final rollup is one
+    map-side-combinable aggregate. No Python, no driver materialization,
+    every stage linear or one-exchange at 100 TB."""
+    from data_bridge_spark.operators.dedup import _norm
+
+    t = Tables(spark, sf_dir)
+    lower_toks = F.split(F.lower(F.col("text")), " ")
+    gated = t.documents.filter(
+        F.col("n_chars").between(_PREP_MIN_CHARS, _PREP_MAX_CHARS)
+        & (
+            F.size(F.array_distinct(lower_toks)).cast("double") / F.size(lower_toks)
+            >= _PREP_MIN_DISTINCT
+        )
+    ).select("doc_id", "text", F.split(F.col("text"), " ").alias("toks"))
+    fps = gated.select("doc_id", "toks", F.md5(_norm(F.col("text"))).alias("fp"))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        fps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "toks")
+    )
+    starts = F.sequence(F.lit(0), F.size(F.col("toks")) - 1, F.lit(_PREP_STRIDE))
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, _PREP_CHUNK)
+    chunks = (
+        kept.select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / _PREP_STRIDE).cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("prep-"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("-"),
+                        F.col("chunk_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _PREP_SHARDS
+    )
+    return (
+        chunks.select("doc_id", "chunk_idx", F.col("n_tokens"), shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        )
+    )
