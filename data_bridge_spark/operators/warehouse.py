@@ -160,22 +160,40 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the audit is scan-bound, so one read of the biggest fact
     instead of three is the number that matters; the remaining edges are
     one left join + 1-row aggregate each, and everything unions into a
-    single lazy plan."""
+    single lazy plan.
+
+    The orders edge is the only fact-fact join, and it only needs
+    per-orderkey counts — so the scan partially aggregates per
+    l_orderkey BELOW the shuffle (part/supplier orphan flags are
+    broadcast-join map-side, so their counts fold into the same partial
+    agg): the orderkey exchange then carries one 4-long row per distinct
+    key instead of every lineitem row, the same below-join rewrite
+    flagship_report uses."""
     t = Tables(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
     ok = t.orders.select(F.col("o_orderkey").alias("__ok")).distinct()
     pk = t.part.select(F.col("p_partkey").alias("__pk")).distinct()
     sk = t.supplier.select(F.col("s_suppkey").alias("__sk")).distinct()
-    li_joined = (
-        li.join(ok, F.col("l_orderkey") == F.col("__ok"), "left")
-        .join(F.broadcast(pk), F.col("l_partkey") == F.col("__pk"), "left")
+    per_key = (
+        li.join(F.broadcast(pk), F.col("l_partkey") == F.col("__pk"), "left")
         .join(F.broadcast(sk), F.col("l_suppkey") == F.col("__sk"), "left")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_if(F.col("__pk").isNull()).alias("__p_orph"),
+            F.count_if(F.col("__sk").isNull()).alias("__s_orph"),
+        )
     )
-    out = li_joined.agg(
-        F.count(F.lit(1)).alias("n_child"),
-        F.count_if(F.col("__ok").isNull()).alias("o_orph"),
-        F.count_if(F.col("__pk").isNull()).alias("p_orph"),
-        F.count_if(F.col("__sk").isNull()).alias("s_orph"),
+    out = (
+        per_key.join(ok, F.col("l_orderkey") == F.col("__ok"), "left")
+        .agg(
+            F.sum("__n").alias("n_child"),
+            F.sum(F.when(F.col("__ok").isNull(), F.col("__n")).otherwise(F.lit(0))).alias(
+                "o_orph"
+            ),
+            F.sum("__p_orph").alias("p_orph"),
+            F.sum("__s_orph").alias("s_orph"),
+        )
     ).selectExpr(
         """stack(3,
            'lineitem.l_orderkey->orders', n_child, o_orph,
