@@ -492,3 +492,84 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_raw",
         (F.col("w_raw") / F.sum("w_raw").over(w)).alias("p_sample"),
     )
+
+
+_DRIFT_CUT = "2024-01-16 00:00:00"
+
+
+@register(
+    "dq_drift",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE ts <  TIMESTAMP '{_DRIFT_CUT}') AS n_a,
+               COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_DRIFT_CUT}') AS n_b
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT event_type, n_a, n_b,
+               SUM(n_a) OVER () AS na_tot, SUM(n_b) OVER () AS nb_tot
+        FROM counts
+    ),
+    num AS (
+        SELECT *,
+               ABS(CAST(n_a AS DECIMAL(18,0)) * CAST(nb_tot AS DECIMAL(18,0))
+                   - CAST(n_b AS DECIMAL(18,0)) * CAST(na_tot AS DECIMAL(18,0))) AS nm
+        FROM tot
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(n_a AS DOUBLE) / CAST(na_tot AS DOUBLE) AS share_a,
+           CAST(n_b AS DOUBLE) / CAST(nb_tot AS DOUBLE) AS share_b,
+           CAST(CAST(SUM(nm) OVER () AS DECIMAL(38,0)) AS DOUBLE)
+               / (2.0 * CAST(na_tot AS DOUBLE) * CAST(nb_tot AS DOUBLE)) AS tv_dist
+    FROM num
+    """,
+    tags=("mlprep", "dq", "drift"),
+)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two ingest windows: per
+    event_type counts and shares for days 1-15 vs 16-30, plus the
+    corpus-level total-variation distance 0.5 * sum|p_a - p_b| — the
+    gate a training pipeline runs between crawl batches before mixing
+    a new dump in. TV instead of KL/PSI on purpose: no logarithm, so
+    the whole statistic stays inside exact arithmetic — the per-type
+    numerator |n_a*N_b - n_b*N_a| and its sum are DECIMAL (order-
+    insensitive, overflow-safe to ~1e18-row windows), and the only
+    float ops are single IEEE divisions at the output edge, identical
+    in any engine. Plan: one scan, one map-side-combinable shuffle on
+    event_type, then two unpartitioned windows over the |event types|-
+    row result (never corpus-sized data — same shape as
+    mix_temperature_weights)."""
+    t = Tables(spark, sf_dir)
+    cut = F.lit(_DRIFT_CUT.split(" ")[0]).cast("timestamp_ntz")
+    counts = t.events.groupBy("event_type").agg(
+        F.count_if(F.col("ts") < cut).alias("n_a"),
+        F.count_if(F.col("ts") >= cut).alias("n_b"),
+    )
+    w = Window.partitionBy()
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    tot = counts.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w).alias("na_tot"),
+        F.sum("n_b").over(w).alias("nb_tot"),
+    )
+    num = tot.withColumn(
+        "nm", F.abs(d18("n_a") * d18("nb_tot") - d18("n_b") * d18("na_tot"))
+    )
+    return num.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.col("n_a").cast("double") / F.col("na_tot").cast("double")).alias("share_a"),
+        (F.col("n_b").cast("double") / F.col("nb_tot").cast("double")).alias("share_b"),
+        (
+            F.sum("nm").over(w).cast("decimal(38,0)").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("na_tot").cast("double")
+                * F.col("nb_tot").cast("double")
+            )
+        ).alias("tv_dist"),
+    )
