@@ -53,3 +53,19 @@ def test_dq_report_passes_on_clean_data(spark, sf_dir):
     assert rows["null_custkey"].passed
     assert rows["orphan_orders"].passed
     assert rows["negative_price"].passed
+
+
+def test_dq_drift_is_a_distance(spark, sf_dir):
+    """tv_dist is one value in [0, 1] corpus-wide; per-window shares
+    each sum to 1 (counts partition the window exactly)."""
+    rows = REG["dq_drift"].fn(spark, sf_dir).collect()
+    assert rows
+    tvs = {r["tv_dist"] for r in rows}
+    assert len(tvs) == 1
+    tv = tvs.pop()
+    assert 0.0 <= tv <= 1.0
+    assert abs(sum(r["share_a"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r["share_b"] for r in rows) - 1.0) < 1e-12
+    # the exact-decimal numerator reproduces the float definition
+    approx = 0.5 * sum(abs(r["share_a"] - r["share_b"]) for r in rows)
+    assert abs(tv - approx) < 1e-9
