@@ -456,7 +456,8 @@ _MIX_ALPHA = 0.7  # temperature exponent: p_i ∝ n_i^alpha flattens big sources
         FROM counts
     )
     SELECT source, lang, n_docs, w_raw,
-           w_raw / SUM(w_raw) OVER () AS p_sample
+           w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,6))) OVER () AS DOUBLE)
+               AS p_sample
     FROM powed
     """,
     tags=("mlprep", "mixing", "temperature"),
@@ -470,8 +471,10 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     strata table (|sources|×|langs| rows — the window never sees corpus-
     sized data). POW is a libm call whose last ulp can differ across
     engines, so the raw weight is rounded to 6 decimals BEFORE the
-    normalizing division (same determinism policy as embed_centroid);
-    the division itself is then bit-identical IEEE on both sides."""
+    normalizing division (same determinism policy as embed_centroid),
+    and the normalizer sums those 6-decimal weights as exact DECIMAL —
+    a float sum's ordering is engine-dependent and diverged in the last
+    ulp at sf0.1 — leaving one bit-identical IEEE division per row."""
     t = Tables(spark, sf_dir)
     counts = t.documents.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -485,12 +488,17 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy()
+    # the normalizer sums the 6-decimal weights as exact DECIMAL (order-
+    # insensitive) and casts to double ONCE: a float SUM's ordering is
+    # engine/partitioning-dependent and diverges in the last ulp once
+    # there are enough strata (seen at sf0.1)
+    norm = F.sum(F.col("w_raw").cast("decimal(18,6)")).over(w).cast("double")
     return powed.select(
         "source",
         "lang",
         "n_docs",
         "w_raw",
-        (F.col("w_raw") / F.sum("w_raw").over(w)).alias("p_sample"),
+        (F.col("w_raw") / norm).alias("p_sample"),
     )
 
 
