@@ -52,11 +52,14 @@ def canon(v: object) -> object:
     return str(v)
 
 
-def rowset(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    """Column-name-sorted, row-sorted canonical multiset."""
+def rowset(cols: list[str], rows: list[tuple]):
+    """Column-name-sorted canonical multiset (Counter — no global sort:
+    multiset equality is what the comparison needs, and sorting every
+    row with stringified keys dominated sweep wall time at sf0.1)."""
+    import collections
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda r: tuple(str(x) for x in r))
+    return collections.Counter(tuple(canon(r[i]) for i in order) for r in rows)
 
 
 def canon_spark_type(t: str) -> str:
@@ -139,10 +142,15 @@ def main() -> int:
             sset = rowset(scols, srows)
             oset = rowset(ocols, orows)
             if sset != oset:
-                diffs = [
-                    (a, b) for a, b in zip(sset, oset) if a != b
-                ][:3]
-                problems.append(f"values differ; first diffs: {diffs}")
+                extra_s = sorted(
+                    (sset - oset).elements(), key=lambda r: tuple(str(x) for x in r)
+                )[:3]
+                extra_o = sorted(
+                    (oset - sset).elements(), key=lambda r: tuple(str(x) for x in r)
+                )[:3]
+                problems.append(
+                    f"values differ; spark-only: {extra_s} oracle-only: {extra_o}"
+                )
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
