@@ -54,6 +54,7 @@ HEADLINE = (
     "fk_integrity_audit",
     "embed_quantize",
     "corpus_prep_pipeline",
+    "dq_drift",
 )
 
 
