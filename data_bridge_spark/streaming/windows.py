@@ -157,3 +157,21 @@ def deliver_stream(
         .foreachBatch(lambda batch_df, epoch_id: sink_fn(batch_df, epoch_id))
         .start()
     )
+
+
+def stream_drift_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-(ingest window, event_type) counts — the streaming state behind
+    a distribution-drift monitor (batch twin: operators/mlprep.dq_drift).
+    15-day tumbling windows phase-shifted to land on the drift boundary
+    (2024-01-16); the drift statistic itself is computed OVER the
+    emitted counts (a |windows|x|types|-row table, never event-sized) by
+    the consumer — foreachBatch, or the batch TV arithmetic in dq_drift,
+    which the stream==batch test reuses verbatim."""
+    # align epoch-anchored 15-day windows to 2024-01-01: 19723 days since
+    # epoch, 19723 % 15 = 13
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 days", "15 days", "13 days").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )

@@ -11,6 +11,7 @@ from data_bridge_spark.streaming.windows import (
     read_events_stream,
     run_to_memory,
     stream_dedup,
+    stream_drift_counts,
     stream_session_window,
     stream_sliding_counts,
     stream_tumbling_counts,
@@ -71,3 +72,28 @@ def test_foreach_batch_delivery(spark, sf_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert seen and sum(n for _, n in seen) > 0
+
+
+def test_stream_drift_counts_match_batch_tv(spark, sf_dir):
+    """The streamed per-(window, type) counts reproduce batch dq_drift's
+    total-variation distance exactly (same integer-arithmetic formula)."""
+    stream = run_to_memory(
+        stream_drift_counts(read_events_stream(spark, sf_dir)), mode="complete"
+    )
+    rows = stream.collect()
+    starts = sorted({r.window_start for r in rows})
+    assert len(starts) == 2  # days 1-15 and 16-30
+    a = {r.event_type: r.n_events for r in rows if r.window_start == starts[0]}
+    b = {r.event_type: r.n_events for r in rows if r.window_start == starts[1]}
+    na, nb = sum(a.values()), sum(b.values())
+    num = sum(
+        abs(a.get(t, 0) * nb - b.get(t, 0) * na) for t in set(a) | set(b)
+    )
+    tv_stream = float(num) / (2.0 * float(na) * float(nb))
+    batch = REG["dq_drift"].fn(spark, sf_dir).collect()
+    tv_batch = batch[0]["tv_dist"]
+    assert tv_stream == tv_batch
+    # and the raw counts agree with the batch operator's per-type rows
+    batch_counts = {r.event_type: (r.n_a, r.n_b) for r in batch}
+    for t, (n_a, n_b) in batch_counts.items():
+        assert a.get(t, 0) == n_a and b.get(t, 0) == n_b
