@@ -292,3 +292,72 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+@register(
+    "events_rolling_active",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    cover AS (
+      SELECT u.user_id, u.day + (i.i * INTERVAL 1 DAY) AS day
+      FROM ud u, (SELECT unnest(generate_series(0, 6)) AS i) i
+    ),
+    wau AS (
+      SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+      FROM cover c JOIN days d ON c.day = d.day GROUP BY c.day
+    ),
+    dau AS (
+      SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day
+    )
+    SELECT w.day AS day, d.dau AS dau, w.wau AS wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM wau w JOIN dau d ON w.day = d.day
+    """,
+    tags=("events", "timeseries", "distinct", "rolling"),
+)
+def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per calendar day, distinct users active that
+    day (DAU), distinct users active in the trailing 7 days (WAU), and
+    the DAU/WAU stickiness ratio. Sliding COUNT DISTINCT does not
+    decompose into partial aggregates, so the scalable form is coverage
+    expansion: dedup to (user, day) FIRST (one exchange, and the big
+    one — events collapse to at most users x days rows), then explode
+    each activity day onto the <= 7 window days it contributes to (a
+    narrow, bounded x7 expansion of the already-deduped relation, NOT
+    of raw events), and count distinct users per covered day. Every day
+    is computed in one pass — no per-day trailing-window rescan, no
+    window-function sort over event history. Days are restricted to
+    calendar days that actually occur (semi-join against the tiny day
+    set, broadcast). The ratio is one exact int->double division per
+    row. At 100 TB: the x7 factor rides the small deduped relation and
+    the distinct-count shuffles carry (day, user) pairs only."""
+    t = Tables(spark, sf_dir)
+    ud = (
+        t.events.select(F.date_trunc("DAY", F.col("ts")).alias("day"), "user_id")
+        .distinct()
+        # consumed three times (coverage, day set, DAU): materialize the
+        # dedup once, same policy as the LSH band / LM pair tables
+        .localCheckpoint(eager=False)
+    )
+    days = ud.select("day").distinct()
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    wau = (
+        cover.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return wau.join(dau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+    )
