@@ -55,6 +55,7 @@ HEADLINE = (
     "embed_quantize",
     "corpus_prep_pipeline",
     "dq_drift",
+    "events_rolling_active",
 )
 
 
