@@ -184,15 +184,19 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("__sk").isNull()).alias("__s_orph"),
         )
     )
+    zero = F.lit(0).cast("long")
     out = (
         per_key.join(ok, F.col("l_orderkey") == F.col("__ok"), "left")
         .agg(
-            F.sum("__n").alias("n_child"),
-            F.sum(F.when(F.col("__ok").isNull(), F.col("__n")).otherwise(F.lit(0))).alias(
-                "o_orph"
-            ),
-            F.sum("__p_orph").alias("p_orph"),
-            F.sum("__s_orph").alias("s_orph"),
+            # coalesce: SUM over an empty child is NULL, but the audit's
+            # contract (COUNT semantics, matching the oracle) is 0
+            F.coalesce(F.sum("__n"), zero).alias("n_child"),
+            F.coalesce(
+                F.sum(F.when(F.col("__ok").isNull(), F.col("__n")).otherwise(F.lit(0))),
+                zero,
+            ).alias("o_orph"),
+            F.coalesce(F.sum("__p_orph"), zero).alias("p_orph"),
+            F.coalesce(F.sum("__s_orph"), zero).alias("s_orph"),
         )
     ).selectExpr(
         """stack(3,
