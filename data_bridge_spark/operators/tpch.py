@@ -13,10 +13,15 @@ HAVING-on-sum semi-join (Q18), scalar-subquery + anti-join (Q22),
 EXISTS-as-semi-join (Q4), the 8-table conditional-ratio join (Q8),
 two-term profit aggregate (Q9), view + scalar-subquery max (Q15),
 OR-of-conjunctions pushdown splitting (Q19), and the EXISTS + NOT
-EXISTS double self-join (Q21). Q2/Q11/Q16/Q20 need a partsupp table
-this schema does not have and are out of scope (no analogue carries
-their plan shape without it). All double aggregation goes through
-functions/exact.py
+EXISTS double self-join (Q21). Q2/Q11/Q16/Q20 canonically read a
+partsupp table this schema does not have; their plan shapes survive
+on a partsupp DERIVED from lineitem — per (l_partkey, l_suppkey)
+aggregates stand in for (ps_supplycost, ps_availqty) — so all four
+are implemented below: correlated min-cost-supplier subquery (Q2),
+HAVING over a global scalar subquery (Q11), NOT-IN +
+count-distinct-suppliers (Q16), and the nested semi-join with a
+correlated quantity threshold (Q20). All double aggregation goes
+through functions/exact.py
 decimal machinery (see that module's docstring for the 2^53 /
 double-rounding rules the oracles rely on).
 """
@@ -861,4 +866,294 @@ def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("name"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q16 / Q20 — the partsupp family, on a DERIVED partsupp.
+# The canonical queries read a (partkey, suppkey)-grained partsupp table;
+# this schema has none, but lineitem carries the same grain, so per-pair
+# aggregates stand in: MIN(l_extendedprice) for ps_supplycost (Q2),
+# SUM(l_extendedprice) restricted to one nation for value (Q11),
+# DISTINCT (l_partkey, l_suppkey) for the relationship itself (Q16), and
+# SUM(l_quantity) all-time vs in-window for availqty-vs-shipped (Q20).
+# Cost/value comparisons stay in exact DecimalType end-to-end so the
+# min-equality joins and HAVING thresholds are bit-deterministic across
+# engines; doubles appear only in output columns.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(15,4))) AS ps_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eur AS (
+        SELECT ps.ps_partkey, ps.ps_cost, s.s_name, s.s_acctbal, n.n_name
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT ps_partkey AS b_partkey, MIN(ps_cost) AS min_cost
+        FROM eur GROUP BY 1
+    )
+    SELECT CAST(e.s_acctbal AS DOUBLE) AS acctbal, e.s_name AS name,
+           e.n_name AS nation, p.p_partkey AS partkey, p.p_name AS part_name,
+           CAST(e.ps_cost AS DOUBLE) AS supply_cost
+    FROM eur e
+    JOIN best b ON b.b_partkey = e.ps_partkey AND e.ps_cost = b.min_cost
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+    ORDER BY acctbal DESC, nation ASC, name ASC, partkey ASC
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "subquery", "topk"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    EUROPE supplier(s) offering it at the region-wide minimum cost — the
+    correlated scalar-MIN subquery, decorrelated the way Catalyst itself
+    would: aggregate the inner query per partkey, equi-join the min back
+    on (partkey, cost). ps_supplycost is derived as MIN(extendedprice)
+    per (part, supplier) pair since there is no partsupp table; the cost
+    stays DECIMAL(15,4) through the min-equality join so both engines
+    match on exact values, and becomes double only in the output. The
+    supplier→nation→region chain broadcasts (dims), so the only
+    fact-grain shuffles are the two partkey aggregations; the part
+    filter (size band + type) is applied before the final join. Top-100
+    with a total (acctbal, nation, name, partkey) tiebreak: (name,
+    partkey) is unique per row, so the LIMIT set is deterministic."""
+    t = Tables(spark, sf_dir)
+    ps = t.lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(dmoney("l_extendedprice")).alias("ps_cost"))
+    eur = (
+        ps.join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("ps_partkey", "ps_cost", "s_name", "s_acctbal", "n_name")
+    )
+    best = eur.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
+        F.min("ps_cost").alias("min_cost")
+    )
+    qual_part = t.part.filter(
+        (F.col("p_size") >= 10) & (F.col("p_size") <= 20) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        eur.join(
+            best,
+            (F.col("b_partkey") == F.col("ps_partkey")) & (F.col("ps_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(qual_part), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+            F.col("s_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("ps_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("acctbal"), F.asc("nation"), F.asc("name"), F.asc("partkey"))
+        .limit(100)
+    )
+
+
+_Q11_NATION = "NATION_7"
+_Q11_FRACTION = "0.001"  # DECIMAL(6,4) literal on both sides
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH grouped AS (
+        SELECT l.l_partkey AS partkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))) AS DECIMAL(18,4)) AS value_d
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = '{_Q11_NATION}'
+        GROUP BY 1
+    ),
+    total AS (
+        SELECT CAST(SUM(value_d) AS DECIMAL(18,4)) AS total_d FROM grouped
+    )
+    SELECT g.partkey, CAST(g.value_d AS DOUBLE) AS value
+    FROM grouped g, total t
+    WHERE g.value_d > t.total_d * CAST({_Q11_FRACTION} AS DECIMAL(6,4))
+    ORDER BY value DESC, partkey ASC
+    """,
+    tags=("tpch", "agg", "subquery", "having"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts whose value
+    held by one nation's suppliers exceeds a fraction of that nation's
+    TOTAL value — HAVING over a global scalar subquery. Value is
+    SUM(extendedprice) per part restricted to the nation (the derived
+    stand-in for supplycost*availqty). The plan computes the per-part
+    aggregate ONCE, derives the grand total from that small aggregate
+    (#parts rows, not fact rows), and broadcasts the 1-row total back
+    via crossJoin — the declared scalar-edge pattern, not a second fact
+    scan. The threshold comparison is DECIMAL * DECIMAL > DECIMAL, exact
+    in both engines, so boundary rows cannot flake. supplier+nation
+    broadcast; the single fact shuffle is the partkey aggregation."""
+    t = Tables(spark, sf_dir)
+    grouped = (
+        t.lineitem.join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(t.nation.filter(F.col("n_name") == _Q11_NATION)),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(dmoney("l_extendedprice")).cast("decimal(18,4)").alias("value_d"))
+    )
+    total = grouped.agg(F.sum("value_d").cast("decimal(18,4)").alias("total_d"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("value_d") > F.col("total_d") * F.lit(_Q11_FRACTION).cast("decimal(6,4)"))
+        .select("partkey", F.col("value_d").cast("double").alias("value"))
+        .orderBy(F.desc("value"), F.asc("partkey"))
+    )
+
+
+_Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle=f"""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN {_Q16_SIZES}
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, brand ASC, type ASC, size ASC
+    """,
+    tags=("tpch", "agg", "anti-join"),
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many distinct
+    suppliers can supply each qualifying (brand, type, size) bucket,
+    excluding blacklisted suppliers — the NOT-IN + count-distinct shape.
+    The supplier NOT IN (negative-acctbal suppliers, the s_comment
+    complaints analogue) is a broadcast anti-join on a non-null key (the
+    safe NOT IN == anti-join case); the part predicate trio (<>,
+    NOT LIKE, IN-list) broadcast-joins BEFORE the aggregation so the
+    count-distinct shuffle carries only qualifying pairs. countDistinct
+    dedups (partkey, suppkey) inside the aggregate — no separate
+    DISTINCT pass over the fact."""
+    t = Tables(spark, sf_dir)
+    bad_supp = t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    qual_part = t.part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(*_Q16_SIZES))
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(qual_part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("brand"), F.asc("type"), F.asc("size"))
+    )
+
+
+_Q20_YEAR_LO, _Q20_YEAR_HI = "1997-01-01 00:00:00", "1998-01-01 00:00:00"
+
+
+@register(
+    "tpch_q20_promotion_supplier",
+    oracle=f"""
+    WITH qty AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_all,
+               SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_Q20_YEAR_LO}'
+                         AND l_shipdate <  TIMESTAMP '{_Q20_YEAR_HI}'
+                        THEN CAST(l_quantity AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS qty_1997
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name AS name, CAST(s.s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (
+            SELECT l_suppkey FROM qty
+            WHERE qty_1997 > qty_all * CAST(0.5 AS DECIMAL(2,1)))
+    ORDER BY name ASC
+    """,
+    tags=("tpch", "semi-join", "subquery"),
+)
+def tpch_q20_promotion_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one region who
+    shipped more than half their all-time volume of a name-matched part
+    inside the promotion year — the nested semi-join: innermost part
+    name filter semi-joins the fact, a correlated per-(part,supplier)
+    quantity threshold prunes pairs, and the surviving suppkey set
+    semi-joins supplier. availqty has no table here, so the correlated
+    comparison is in-window SUM(l_quantity) vs all-time SUM(l_quantity)
+    at (partkey, suppkey) grain — both computed in ONE conditional
+    aggregation over a single fact scan (no self-join), in exact
+    DecimalType so the 0.5x threshold cannot flake. The part name filter
+    broadcasts as a semi-join before the aggregation; the qualifying
+    suppkey set (≤ #suppliers) broadcasts back against the supplier dim;
+    region/nation broadcast. One fact shuffle total."""
+    t = Tables(spark, sf_dir)
+    small_parts = t.part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    zero = F.lit(0).cast("decimal(18,6)")
+    in_year = (
+        F.col("l_shipdate") >= F.lit(_Q20_YEAR_LO).cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit(_Q20_YEAR_HI).cast("timestamp_ntz"))
+    qty = (
+        t.lineitem.join(
+            F.broadcast(small_parts), F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(dec("l_quantity")).alias("qty_all"),
+            F.sum(F.when(in_year, dec("l_quantity")).otherwise(zero)).alias("qty_1997"),
+        )
+    )
+    qual_supp = (
+        qty.filter(F.col("qty_1997") > F.col("qty_all") * F.lit("0.5").cast("decimal(2,1)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .join(F.broadcast(qual_supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(
+            F.col("s_name").alias("name"),
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+        )
+        .orderBy(F.asc("name"))
     )
