@@ -151,6 +151,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIN_SUPPORT = 5
+_MAX_BASKET = 64  # hard cap: baskets above this are dropped (and counted)
 
 
 @register(
@@ -158,13 +159,29 @@ _MIN_SUPPORT = 5
     oracle=f"""
     WITH items AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sized AS (
+        SELECT l_orderkey, COUNT(*) AS b_size FROM items GROUP BY 1
+    ),
+    dropped AS (
+        SELECT COUNT(*) AS n_dropped_baskets FROM sized WHERE b_size > {_MAX_BASKET}
+    ),
+    frequent AS (
+        SELECT l_partkey FROM items GROUP BY 1 HAVING COUNT(*) >= {_MIN_SUPPORT}
+    ),
+    pruned AS (
+        SELECT i.l_orderkey, i.l_partkey
+        FROM items i
+        WHERE i.l_orderkey IN (SELECT l_orderkey FROM sized WHERE b_size <= {_MAX_BASKET})
+          AND i.l_partkey  IN (SELECT l_partkey FROM frequent)
     )
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-           COUNT(*) AS n_orders
-    FROM items a
-    JOIN items b ON a.l_orderkey = b.l_orderkey
-                AND a.l_partkey < b.l_partkey
-    GROUP BY a.l_partkey, b.l_partkey
+           COUNT(*) AS n_orders, d.n_dropped_baskets
+    FROM pruned a
+    JOIN pruned b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+    CROSS JOIN dropped d
+    GROUP BY a.l_partkey, b.l_partkey, d.n_dropped_baskets
     HAVING COUNT(*) >= {_MIN_SUPPORT}
     """,
     tags=("basket", "join", "agg"),
@@ -172,17 +189,45 @@ _MIN_SUPPORT = 5
 def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: part pairs co-occurring in >= 5 orders
     (the candidate-generation step of A-Priori / FP-growth). The in-
-    basket self-join is the textbook quadratic risk; here it is bounded
-    BY CONSTRUCTION — baskets are orders, and an order has ~4-7 lines,
-    so the expansion is O(b²) with b <= 7 per basket, i.e. linear overall.
-    One shuffle on orderkey for the self-join, one on the pair for the
-    count (map-side partial agg). At 100 TB the same plan holds as long
-    as baskets stay bounded; a degenerate mega-basket would need the
-    same cap-and-star guard dedup.lsh_candidate_pairs applies."""
+    basket self-join is the textbook quadratic risk, guarded two ways:
+
+    - **A-Priori prune**: items are semi-joined to parts appearing in
+      >= _MIN_SUPPORT distinct orders first. A part below support cannot
+      be in a frequent pair (pair count <= either part's count), so the
+      prune provably never changes the output — but at 100 TB it deletes
+      the long tail of rare parts BEFORE the quadratic step.
+    - **Hard basket cap**: baskets larger than _MAX_BASKET items are
+      dropped entirely (the star trick dedup.lsh_candidate_pairs uses
+      does NOT apply here — pair *counts* are the answer, so a capped
+      basket cannot be summarized by a star). The number of dropped
+      baskets is surfaced as a constant ``n_dropped_baskets`` audit
+      column so a nonzero drop is visible in the result, not silent.
+      On this schema baskets are orders (~4-7 lines), so the cap never
+      fires outside synthetic tests (tests/test_operators.py grows a
+      mega-basket and asserts bounded expansion + the counted drop).
+
+    Plan: the distinct, the size count, the self-join, and the support
+    count all shuffle on the same keys (orderkey / partkey — exchange
+    reuse); the 1-row dropped count broadcasts back via crossJoin. Per
+    surviving basket the expansion is O(min(b, _MAX_BASKET)²)."""
     t = Tables(spark, sf_dir)
     items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
+    sized = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("b_size"))
+    kept = sized.filter(F.col("b_size") <= _MAX_BASKET).select("l_orderkey")
+    dropped = sized.filter(F.col("b_size") > _MAX_BASKET).agg(
+        F.count(F.lit(1)).alias("n_dropped_baskets")
+    )
+    frequent = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("p_count"))
+        .filter(F.col("p_count") >= _MIN_SUPPORT)
+        .select("l_partkey")
+    )
+    pruned = items.join(kept, "l_orderkey", "left_semi").join(
+        frequent, "l_partkey", "left_semi"
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     return (
         a.join(
             b,
@@ -194,6 +239,7 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= _MIN_SUPPORT)
+        .crossJoin(F.broadcast(dropped))
     )
 
 

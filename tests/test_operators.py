@@ -186,3 +186,54 @@ def test_pagerank_durable_checkpoint_matches_local(spark, sf_dir, tmp_path):
         for r in pagerank(docs, checkpoint_dir=str(tmp_path / "prckpt")).collect()
     }
     assert local == durable
+
+
+def test_hll_within_rsd_of_exact(spark, sf_dir):
+    """agg_approx_distinct is rows-only for the oracle (HLL sketches are
+    engine-specific), so gate it numerically here: every estimate must be
+    within 3x the configured rsd (default 0.05) of the exact distinct
+    count per group — converts the last 'runs-only' aggregate into
+    'verified sane'."""
+    approx = {r.l_returnflag: r for r in run("agg_approx_distinct", spark, sf_dir).collect()}
+    exact = {
+        r.l_returnflag: r
+        for r in Tables_lineitem(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.countDistinct("l_partkey").alias("parts"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    tol = 3 * 0.05
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_orders - e.orders) <= tol * e.orders, flag
+        assert abs(a.approx_parts - e.parts) <= tol * e.parts, flag
+
+
+def test_basket_pairs_mega_basket_guard(spark, tmp_path):
+    """A degenerate mega-basket must be dropped (and counted), not
+    expanded quadratically: pair counts exclude the dropped basket and
+    n_dropped_baskets surfaces the drop."""
+    from data_bridge_spark.operators.insights import _MAX_BASKET, basket_pairs
+
+    rows = []
+    # six normal baskets each holding parts {1, 2} -> frequent pair
+    for ok in range(1, 7):
+        rows += [(ok, 1), (ok, 2)]
+    # one mega-basket over the cap, CONTAINING the frequent pair too
+    mega = 100
+    for pk in range(1, _MAX_BASKET + 10):
+        rows.append((mega, pk))
+    spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = basket_pairs(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b) == (1, 2)
+    # the mega-basket's co-occurrence is excluded: 6, not 7
+    assert r.n_orders == 6
+    assert r.n_dropped_baskets == 1
