@@ -49,6 +49,9 @@ def read_jdbc(
     num_partitions: int = 8,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    push_down_predicate: bool = True,
+    push_down_limit: bool = True,
+    push_down_aggregate: bool = True,
 ) -> DataFrame:
     """Parameterized JDBC query scan (ref extractor.py:57-105, bugs fixed).
 
@@ -66,6 +69,16 @@ def read_jdbc(
     Literal rendering follows ``src.dialect`` — "backslash" for backends
     (MySQL/MariaDB) whose string literals process backslash escapes, so
     data-carrying params can't break out of their quotes there either.
+
+    Pushdown knobs: ``push_down_predicate`` controls whether
+    Spark-side filters layered ON TOP of the rendered query are pushed
+    into the remote WHERE clause (on by default; the plan shows them as
+    ``PushedFilters`` — tests/test_jdbc.py asserts both states against
+    live Derby). ``push_down_limit`` / ``push_down_aggregate`` are
+    honored by the DataSource-V2 JDBC path (see
+    :func:`register_jdbc_catalog`); they are recorded here too so a
+    plan built through this reader keeps the same contract if Spark
+    routes it through V2.
     """
     rendered = render_sql(
         query, params or {}, step_outputs, dialect=getattr(src, "dialect", "ansi")
@@ -90,7 +103,35 @@ def read_jdbc(
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
         )
+    reader = (
+        reader.option("pushDownPredicate", str(push_down_predicate).lower())
+        .option("pushDownLimit", str(push_down_limit).lower())
+        .option("pushDownAggregate", str(push_down_aggregate).lower())
+    )
     return reader.load()
+
+
+def register_jdbc_catalog(spark: SparkSession, name: str, src: "SourceSql") -> None:
+    """Expose a JDBC source as a Spark SQL catalog (DataSource V2).
+
+    ``spark.sql(f"SELECT ... FROM {name}.schema.table")`` then plans
+    through ``JDBCTableCatalog``, the path where Spark's aggregate /
+    limit / offset pushdown to the remote database actually engages
+    (V1 ``format("jdbc")`` only pushes predicates). The upgrade over
+    the reference's ship-SQL-text model (ref extractor.py:63,96): the
+    user writes Spark SQL against remote tables and Catalyst decides
+    per-plan what runs remotely — ``PushedAggregates``/``PushedFilters``
+    appear in the scan node (asserted live in tests/test_jdbc.py)."""
+    base = f"spark.sql.catalog.{name}"
+    spark.conf.set(base, "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(f"{base}.url", src.url)
+    spark.conf.set(f"{base}.pushDownAggregate", "true")
+    spark.conf.set(f"{base}.pushDownLimit", "true")
+    if src.driver:
+        spark.conf.set(f"{base}.driver", src.driver)
+    if src.user:
+        spark.conf.set(f"{base}.user", src.user)
+        spark.conf.set(f"{base}.password", src.password)
 
 
 def read_sftp_source(

@@ -111,3 +111,52 @@ def test_runner_jdbc_extract_step(spark, derby, tmp_path):
     assert result.dest_responses[0].records_processed == 2
     content = (tmp_path / "r" / "s.csv").read_text()
     assert "cyd" in content and "dee" in content and "ada" not in content
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_jdbc_predicate_pushdown_in_plan(spark, derby):
+    """A Spark-side filter layered on the JDBC scan must reach the remote
+    WHERE clause: the scan node advertises it as PushedFilters."""
+    from pyspark.sql import functions as F
+
+    df = read_jdbc(spark, derby, "SELECT id, name, campus FROM students").filter(
+        F.col("CAMPUS") == 10
+    )
+    plan = _plan(df)
+    # the * prefix marks a filter the datasource actually handles
+    assert "*EqualTo(CAMPUS,10)" in plan, plan
+    assert {r.ID for r in df.collect()} == {1, 2, 5}
+
+
+def test_jdbc_predicate_pushdown_off(spark, derby):
+    """push_down_predicate=False keeps the filter Spark-side — the knob is
+    real, not decorative."""
+    from pyspark.sql import functions as F
+
+    df = read_jdbc(
+        spark,
+        derby,
+        "SELECT id, name, campus FROM students",
+        push_down_predicate=False,
+    ).filter(F.col("CAMPUS") == 10)
+    plan = _plan(df)
+    # filters are listed but NOT handled by the source: no * marker
+    assert "*EqualTo(CAMPUS,10)" not in plan, plan
+    assert {r.ID for r in df.collect()} == {1, 2, 5}
+
+
+def test_jdbc_v2_catalog_aggregate_pushdown(spark, derby):
+    """The DataSource-V2 JDBC catalog path: a GROUP BY over a remote table
+    ships the aggregate to the database (PushedAggregates in the scan)."""
+    from data_bridge_spark.sources.readers import register_jdbc_catalog
+
+    register_jdbc_catalog(spark, "derbycat", derby)
+    df = spark.sql(
+        "SELECT CAMPUS, COUNT(*) AS n FROM derbycat.APP.STUDENTS GROUP BY CAMPUS"
+    )
+    plan = _plan(df)
+    assert "PushedAggregates" in plan, plan
+    assert {(r.CAMPUS, r.n) for r in df.collect()} == {(10, 3), (20, 2)}
