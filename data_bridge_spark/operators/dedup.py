@@ -49,52 +49,58 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_HASHES = 16  # minhash signature length; 2 bands x 8 rows
+_N_HASHES = 16  # minhash signature length; default 2 bands x 8 rows
 _BANDS = 2
+# (bands, rows_per_band) is the LSH recall/precision dial: more bands of
+# fewer rows -> higher recall, more candidates (match prob for Jaccard s
+# is 1 - (1 - s^rows)^bands). Every helper below takes (n_hashes, bands)
+# so a 4x4 or 8x2 banding is a call-site choice, not a code edit; the
+# Spark and DuckDB derivations are generated from the same parameters
+# (oracle-proven at 2x8 AND 4x4 — dedup_minhash_pairs / _4x4).
 
 
-def _minhash_exprs(text_col: str = "text") -> list[F.Column]:
+def _minhash_exprs(text_col: str = "text", n_hashes: int = _N_HASHES) -> list[F.Column]:
     """k min-hashes over the word set (unaliased): mh_j = min(md5(w#j))."""
     words = F.array_distinct(F.split(_norm(F.col(text_col)), " "))
     return [
         F.array_min(F.transform(words, lambda w: F.md5(F.concat(w, F.lit(f"#{j}")))))
-        for j in range(_N_HASHES)
+        for j in range(n_hashes)
     ]
 
 
-def _minhash_cols() -> list[F.Column]:
-    return [e.alias(f"mh_{j}") for j, e in enumerate(_minhash_exprs())]
+def _minhash_cols(n_hashes: int = _N_HASHES) -> list[F.Column]:
+    return [e.alias(f"mh_{j}") for j, e in enumerate(_minhash_exprs(n_hashes=n_hashes))]
 
 
-def band_hash_expr(text_col: str = "text") -> F.Column:
-    """One LSH band key (first half of the signature, hashed) — the
+def band_hash_expr(text_col: str = "text", n_hashes: int = _N_HASHES, bands: int = _BANDS) -> F.Column:
+    """One LSH band key (first band of the signature, hashed) — the
     bucket id used for candidate generation and for streaming fuzzy dedup
     (streaming/windows.stream_dedup_fuzzy)."""
-    first_band = _minhash_exprs(text_col)[: _N_HASHES // _BANDS]
+    first_band = _minhash_exprs(text_col, n_hashes=n_hashes)[: n_hashes // bands]
     return F.md5(F.concat_ws("|", *first_band))
 
 
-def _minhash_sql_cols() -> str:
+def _minhash_sql_cols(n_hashes: int = _N_HASHES) -> str:
     words = f"list_distinct(string_split({_NORM_SQL}, ' '))"
     cols = [
         f"list_min(list_transform({words}, w -> MD5(w || '#{j}'))) AS mh_{j}"
-        for j in range(_N_HASHES)
+        for j in range(n_hashes)
     ]
     return ",\n           ".join(cols)
 
 
-def _bands_sql(src: str = "documents") -> str:
+def _bands_sql(src: str = "documents", n_hashes: int = _N_HASHES, bands: int = _BANDS) -> str:
     """DuckDB CTE text computing the same (band_idx, band_hash) rows the
     Spark side derives — signatures CTE + one SELECT per band."""
-    rows_per_band = _N_HASHES // _BANDS
+    rows_per_band = n_hashes // bands
     selects = []
-    for b in range(_BANDS):
+    for b in range(bands):
         cols = ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
         selects.append(
             f"SELECT doc_id, {b} AS band_idx, MD5(CONCAT_WS('|', {cols})) AS band_hash FROM sig"
         )
     return (
-        f"sig AS (\n        SELECT doc_id,\n           {_minhash_sql_cols()}\n        FROM {src}\n    ),\n"
+        f"sig AS (\n        SELECT doc_id,\n           {_minhash_sql_cols(n_hashes)}\n        FROM {src}\n    ),\n"
         "    bands AS (\n        " + "\n        UNION ALL\n        ".join(selects) + "\n    )"
     )
 
@@ -112,10 +118,10 @@ def _bands_sql(src: str = "documents") -> str:
 _BUCKET_CAP = 64
 
 
-def _bands_long(docs: DataFrame) -> DataFrame:
+def _bands_long(docs: DataFrame, n_hashes: int = _N_HASHES, bands: int = _BANDS) -> DataFrame:
     """(doc_id, band_idx, band_hash) — one row per doc per LSH band."""
-    sig = docs.select("doc_id", *_minhash_cols())
-    rows_per_band = _N_HASHES // _BANDS
+    sig = docs.select("doc_id", *_minhash_cols(n_hashes))
+    rows_per_band = n_hashes // bands
     return sig.select(
         "doc_id",
         F.posexplode(
@@ -127,14 +133,19 @@ def _bands_long(docs: DataFrame) -> DataFrame:
                             *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
                         )
                     )
-                    for b in range(_BANDS)
+                    for b in range(bands)
                 ]
             )
         ).alias("band_idx", "band_hash"),
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    cap: int = _BUCKET_CAP,
+    n_hashes: int = _N_HASHES,
+    bands: int = _BANDS,
+) -> DataFrame:
     """Distinct LSH candidate pairs (id_a < id_b) with the oversized-
     bucket star guard.
 
@@ -149,7 +160,7 @@ def lsh_candidate_pairs(docs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
 
     w = Window.partitionBy("band_idx", "band_hash")
     sized = (
-        _bands_long(docs)
+        _bands_long(docs, n_hashes=n_hashes, bands=bands)
         .select(
             "doc_id",
             "band_idx",
@@ -239,6 +250,28 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint for a persisted signature table (see SCALE.md)."""
     t = Tables(spark, sf_dir)
     return lsh_candidate_pairs(t.documents)
+
+
+@register(
+    "dedup_minhash_pairs_4x4",
+    oracle=f"""
+    WITH {_bands_sql(bands=4)},
+    {_pairs_sql()}
+    SELECT id_a, id_b FROM cand
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_pairs_4x4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same LSH candidate generation at a different point on the
+    recall/precision dial: 4 bands x 4 rows instead of the default
+    2 x 8. Shorter bands match at lower Jaccard (hit prob for
+    similarity s is 1-(1-s^rows)^bands), so this emits a superset-ish,
+    higher-recall candidate set for the same 16-hash signature. Proves
+    the banding parameters are a live knob: Spark and the oracle both
+    derive their band tables from (n_hashes=16, bands=4), and the plan
+    shape (one band-key shuffle + capped self-join) is unchanged."""
+    t = Tables(spark, sf_dir)
+    return lsh_candidate_pairs(t.documents, bands=4)
 
 
 @register(
