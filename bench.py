@@ -122,11 +122,13 @@ def main() -> None:
     # the GC bill (r3: text_lm_score 6.9 s under the driver vs 2.5 s on a
     # clean session).  Dropping dead persisted RDDs between queries
     # isolates each timing without hiding any per-query checkpoint cost —
-    # each sample still creates and pays for its own blocks.
+    # each sample still creates and pays for its own blocks. The
+    # unpersist is blocking so cleanup can't bleed into the next timed
+    # sample (it runs outside the timed region).
     def _drop_dead_blocks() -> None:
         try:
             for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-                rdd.unpersist(False)
+                rdd.unpersist(True)
         except Exception:
             spark.catalog.clearCache()
 

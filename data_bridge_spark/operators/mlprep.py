@@ -452,11 +452,11 @@ _MIX_ALPHA = 0.7  # temperature exponent: p_i ∝ n_i^alpha flattens big sources
     ),
     powed AS (
         SELECT source, lang, n_docs,
-               ROUND(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}), 6) AS w_raw
+               CAST(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) AS DECIMAL(18,6)) AS w_raw_d
         FROM counts
     )
-    SELECT source, lang, n_docs, w_raw,
-           w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(18,6))) OVER () AS DOUBLE)
+    SELECT source, lang, n_docs, CAST(w_raw_d AS DOUBLE) AS w_raw,
+           CAST(w_raw_d AS DOUBLE) / CAST(SUM(w_raw_d) OVER () AS DOUBLE)
                AS p_sample
     FROM powed
     """,
@@ -470,9 +470,11 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization constant via an unpartitioned window over the tiny
     strata table (|sources|×|langs| rows — the window never sees corpus-
     sized data). POW is a libm call whose last ulp can differ across
-    engines, so the raw weight is rounded to 6 decimals BEFORE the
-    normalizing division (same determinism policy as embed_centroid),
-    and the normalizer sums those 6-decimal weights as exact DECIMAL —
+    engines, so the raw weight is quantized to DECIMAL(18,6) BEFORE the
+    normalizing division — a direct double→decimal cast on both sides,
+    not ROUND, because Spark's ROUND (exact BigDecimal HALF_UP) and
+    DuckDB's ROUND (scaled-float) can disagree on 6th-decimal ties —
+    and the normalizer sums those quantized weights as exact DECIMAL —
     a float sum's ordering is engine-dependent and diverged in the last
     ulp at sf0.1 — leaving one bit-identical IEEE division per row."""
     t = Tables(spark, sf_dir)
@@ -483,22 +485,23 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         "n_docs",
-        F.round(F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA)), 6).alias(
-            "w_raw"
-        ),
+        F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))
+        .cast("decimal(18,6)")
+        .alias("w_raw_d"),
     )
     w = Window.partitionBy()
-    # the normalizer sums the 6-decimal weights as exact DECIMAL (order-
+    # the normalizer sums the quantized weights as exact DECIMAL (order-
     # insensitive) and casts to double ONCE: a float SUM's ordering is
     # engine/partitioning-dependent and diverges in the last ulp once
     # there are enough strata (seen at sf0.1)
-    norm = F.sum(F.col("w_raw").cast("decimal(18,6)")).over(w).cast("double")
+    norm = F.sum(F.col("w_raw_d")).over(w).cast("double")
+    w_raw = F.col("w_raw_d").cast("double")
     return powed.select(
         "source",
         "lang",
         "n_docs",
-        "w_raw",
-        (F.col("w_raw") / norm).alias("p_sample"),
+        w_raw.alias("w_raw"),
+        (w_raw / norm).alias("p_sample"),
     )
 
 
