@@ -56,6 +56,10 @@ HEADLINE = (
     "corpus_prep_pipeline",
     "dq_drift",
     "events_rolling_active",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promotion_supplier",
 )
 
 

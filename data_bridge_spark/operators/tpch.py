@@ -924,16 +924,33 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (part, supplier) pair since there is no partsupp table; the cost
     stays DECIMAL(15,4) through the min-equality join so both engines
     match on exact values, and becomes double only in the output. The
-    supplier→nation→region chain broadcasts (dims), so the only
-    fact-grain shuffles are the two partkey aggregations; the part
-    filter (size band + type) is applied before the final join. Top-100
-    with a total (acctbal, nation, name, partkey) tiebreak: (name,
-    partkey) is unique per row, so the LIMIT set is deterministic."""
+    supplier→nation→region chain broadcasts (dims), and the correlated
+    MIN is a window over the per-pair aggregate — ONE pass over the
+    fact, not an aggregate-and-self-join that would scan lineitem twice.
+    The part filter (size band + type) broadcast-SEMI-joins into
+    lineitem BEFORE the pair aggregation: per-part min is unaffected by
+    dropping other parts, and at 100 TB the ~1/30-selective part filter
+    prunes the fact ahead of both shuffles. Top-100 with a total
+    (acctbal, nation, name, partkey) tiebreak: (name, partkey) is
+    unique per row, so the LIMIT set is deterministic."""
+    from pyspark.sql import Window
+
     t = Tables(spark, sf_dir)
-    ps = t.lineitem.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(F.min(dmoney("l_extendedprice")).alias("ps_cost"))
+    qual_part = t.part.filter(
+        (F.col("p_size") >= 10) & (F.col("p_size") <= 20) & (F.col("p_type") == "STANDARD")
+    )
+    ps = (
+        t.lineitem.join(
+            F.broadcast(qual_part.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(dmoney("l_extendedprice")).alias("ps_cost"))
+    )
     eur = (
         ps.join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
@@ -943,17 +960,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ps_partkey", "ps_cost", "s_name", "s_acctbal", "n_name")
     )
-    best = eur.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
-        F.min("ps_cost").alias("min_cost")
-    )
-    qual_part = t.part.filter(
-        (F.col("p_size") >= 10) & (F.col("p_size") <= 20) & (F.col("p_type") == "STANDARD")
-    )
+    w = Window.partitionBy("ps_partkey")
     return (
-        eur.join(
-            best,
-            (F.col("b_partkey") == F.col("ps_partkey")) & (F.col("ps_cost") == F.col("min_cost")),
-        )
+        eur.withColumn("min_cost", F.min("ps_cost").over(w))
+        .filter(F.col("ps_cost") == F.col("min_cost"))
         .join(F.broadcast(qual_part), F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             F.col("s_acctbal").cast("double").alias("acctbal"),
@@ -1000,12 +1010,14 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     TOTAL value — HAVING over a global scalar subquery. Value is
     SUM(extendedprice) per part restricted to the nation (the derived
     stand-in for supplycost*availqty). The plan computes the per-part
-    aggregate ONCE, derives the grand total from that small aggregate
-    (#parts rows, not fact rows), and broadcasts the 1-row total back
-    via crossJoin — the declared scalar-edge pattern, not a second fact
-    scan. The threshold comparison is DECIMAL * DECIMAL > DECIMAL, exact
-    in both engines, so boundary rows cannot flake. supplier+nation
-    broadcast; the single fact shuffle is the partkey aggregation."""
+    aggregate ONCE (localCheckpoint pins the #parts-row result so the
+    total's broadcast side cannot re-run the fact scan), derives the
+    grand total from that small aggregate, and broadcasts the 1-row
+    total back via crossJoin — the declared scalar-edge pattern, not a
+    second fact scan. The threshold comparison is DECIMAL * DECIMAL >
+    DECIMAL, exact in both engines, so boundary rows cannot flake.
+    supplier+nation broadcast; the single fact shuffle is the partkey
+    aggregation."""
     t = Tables(spark, sf_dir)
     grouped = (
         t.lineitem.join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1015,6 +1027,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(dmoney("l_extendedprice")).cast("decimal(18,4)").alias("value_d"))
+        .localCheckpoint(eager=False)
     )
     total = grouped.agg(F.sum("value_d").cast("decimal(18,4)").alias("total_d"))
     return (
