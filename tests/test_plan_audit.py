@@ -31,6 +31,8 @@ ALLOW: dict[str, str] = {
     "sim_range_search": "radius scan vs a 10-vector broadcast query set (corpus never shuffles; LSH/IVF are the large-query-set paths)",
     "mlprep_rebalance": "cross join vs the 1-row global max-class aggregate (broadcast side is O(1); the per-class factor join itself is a broadcast hash join)",
     "tpch_q22_dormant": "scalar-subquery shape: cross join vs the 1-row global average-balance aggregate (broadcast side is O(1))",
+    "tpch_q11_important_stock": "HAVING-over-global-scalar shape: cross join vs the 1-row grand-total aggregate (broadcast side is O(1))",
+    "basket_pairs": "audit-column edge: cross join vs the 1-row dropped-basket count (broadcast side is O(1))",
 }
 
 
