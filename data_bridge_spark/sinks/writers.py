@@ -93,6 +93,48 @@ def write_table(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def write_partitioned_table(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> int:
+    """Hive-style partitioned layout write; returns rows written.
+
+    The 100 TB lakehouse write path: ``partitionBy`` lays data out as
+    ``path/col=value/`` directories so later reads prune whole
+    partitions at PLANNING time (``PartitionFilters`` in the scan — a
+    filtered read lists only matching directories, it never opens the
+    rest), and a filtered JOIN prunes them at RUNTIME via dynamic
+    partition pruning (``dynamicpruning`` subquery in the scan node).
+    Both behaviors are plan-asserted in tests/test_partitioning.py.
+
+    ``sort_cols`` additionally sorts rows *within* each output file
+    (``sortWithinPartitions``) so min/max row-group statistics on those
+    columns become selective — the poor-man's clustering that lets
+    parquet row-group skipping work on a second dimension the directory
+    layout doesn't cover. Row count comes from the write job's own
+    ``observe`` metrics, like :func:`write_table`."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*[*partition_cols, *sort_cols])
+    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+    writer = out.write.mode(mode).partitionBy(*partition_cols)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+    else:
+        writer.json(path)
+    return int(obs.get["n"])
+
+
 def write_fileshare(
     df: DataFrame,
     mount_path: str,

@@ -1,0 +1,77 @@
+"""Partitioned-layout write + pruned reads: the scan-side features that
+decide whether a 100 TB table is readable at all.
+
+- Static partition pruning: a literal filter on the partition column is
+  resolved at planning time — the scan's ``PartitionFilters`` carries it
+  and only matching ``col=value/`` directories are listed.
+- Dynamic partition pruning (DPP): a join against a *filtered* dimension
+  prunes fact partitions at runtime — the scan node carries a
+  ``dynamicpruning`` subquery instead of reading every partition and
+  filtering post-join.
+- ``sortWithinPartitions`` layout: rows inside each file arrive sorted,
+  so parquet min/max row-group stats are selective on the sort column.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_bridge_spark.sinks.writers import write_partitioned_table
+
+
+@pytest.fixture(scope="module")
+def part_orders(spark, sf_dir, tmp_path_factory):
+    """orders partitioned by priority, sorted inside files by custkey."""
+    path = str(tmp_path_factory.mktemp("lake") / "orders_by_priority")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = write_partitioned_table(
+        orders, path, partition_cols=["o_orderpriority"], sort_cols=["o_custkey"]
+    )
+    assert n == orders.count()
+    return path
+
+
+def _scan_desc(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_static_partition_pruning(spark, part_orders):
+    df = spark.read.parquet(part_orders).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = _scan_desc(df)
+    assert "PartitionFilters" in plan
+    # the partition predicate lives in PartitionFilters, not a post-scan Filter
+    assert "o_orderpriority" in plan.split("PartitionFilters")[1][:200]
+    # and values are correct
+    assert df.filter(F.col("o_orderpriority") != "1-URGENT").count() == 0
+    assert df.count() > 0
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, part_orders):
+    """A selective dim filter must reach the partitioned fact scan as a
+    runtime dynamicpruning subquery, not as a post-join filter."""
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    # DPP's planner heuristic wants a SELECTIVE predicate on the dim side
+    # — an unfiltered dim would legitimately read every partition
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2)], "o_orderpriority STRING, rank INT"
+    ).filter(F.col("rank") == 1)
+    fact = spark.read.parquet(part_orders)
+    joined = fact.join(dim, "o_orderpriority")
+    plan = _scan_desc(joined).lower()
+    assert "dynamicpruning" in plan, plan
+    assert joined.count() == fact.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+
+def test_sort_within_partitions_layout(spark, part_orders):
+    """Each output file is internally sorted by the sort column, so its
+    row-group min/max stats are selective."""
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(part_orders, "o_orderpriority=*", "part-*.parquet"))
+    assert files
+    probe = spark.read.parquet(files[0]).select("o_custkey").collect()
+    vals = [r.o_custkey for r in probe]
+    assert vals == sorted(vals)
