@@ -75,3 +75,32 @@ def test_sort_within_partitions_layout(spark, part_orders):
     probe = spark.read.parquet(files[0]).select("o_custkey").collect()
     vals = [r.o_custkey for r in probe]
     assert vals == sorted(vals)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """The non-partition-column complement to DPP: a selective filter on
+    one shuffle-join side injects a runtime BloomFilter on the other, so
+    fact rows that cannot match are dropped at the scan, pre-shuffle.
+    The applicationSideScanSizeThreshold default is 10GB — right for a
+    real cluster, far above any local test table — so the test lowers it
+    to prove the rewrite itself engages."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "bloomfilter" in plan or "bloom_filter" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
