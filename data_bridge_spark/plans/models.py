@@ -126,6 +126,18 @@ class DestSmtp(BaseModel):
     use_tls: bool = True
 
 
+class DestLake(BaseModel):
+    """Partitioned lakehouse table on shared/object storage — the
+    cluster-native delivery the reference's one-file-per-load model
+    cannot express: Hive-style ``col=value/`` directory layout with
+    optional in-file sort clustering (sinks.writers.write_partitioned_table),
+    so downstream reads partition-prune statically and dynamically."""
+
+    protocol: Literal["lake"] = "lake"
+    name: str
+    base_path: str
+
+
 class DestDrive(BaseModel):
     """Google Drive sink — stub in the reference (loader.py:174-179)."""
 
@@ -135,7 +147,7 @@ class DestDrive(BaseModel):
 
 
 Destination = Annotated[
-    Union[DestFileshare, DestSftp, DestSmtp, DestDrive],
+    Union[DestFileshare, DestSftp, DestSmtp, DestLake, DestDrive],
     Field(discriminator="protocol"),
 ]
 
@@ -202,6 +214,9 @@ class LoadStep(BaseModel):
     file_name: str = "output.csv"
     format: Literal["csv", "parquet", "json"] = "csv"
     single_file: bool = True  # reference semantics: one artifact per load
+    # lake-only: partition column(s) and optional in-file sort columns
+    partition_by: list[str] = Field(default_factory=list)
+    sort_by: list[str] = Field(default_factory=list)
     # smtp-only:
     subject: str = ""
     sender: str = ""

@@ -170,7 +170,12 @@ class StreamRunner:
         # imported here, not at module top: sinks.writers imports
         # plans.models, so a top-level import would close a cycle through
         # the plans package __init__
-        from data_bridge_spark.sinks.writers import write_fileshare, write_sftp, write_smtp
+        from data_bridge_spark.sinks.writers import (
+            write_fileshare,
+            write_lake,
+            write_sftp,
+            write_smtp,
+        )
 
         dest = self.stream.destination(step.destination)
         df = self.step_outputs[step.input]
@@ -184,6 +189,16 @@ class StreamRunner:
                 fmt=step.format,
                 single_file=step.single_file,
                 destination_name=dest.name,
+            )
+        if dest.protocol == "lake":
+            fmt = "parquet" if step.format == "csv" else step.format
+            return write_lake(
+                df,
+                dest,
+                table_name=step.file_name,
+                partition_by=step.partition_by,
+                sort_by=step.sort_by or None,
+                fmt=fmt,
             )
         if dest.protocol == "sftp":
             return write_sftp(df, dest, step.file_name, fmt=step.format, transport=transport)

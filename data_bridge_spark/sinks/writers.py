@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from data_bridge_spark.plans.models import DestinationResponse
 
 if TYPE_CHECKING:
-    from data_bridge_spark.plans.models import DestSftp, DestSmtp
+    from data_bridge_spark.plans.models import DestLake, DestSftp, DestSmtp
 
 
 def write_table(
@@ -157,6 +157,37 @@ def write_fileshare(
     except Exception as exc:
         return DestinationResponse(
             destination_name=destination_name, status="failure", message=str(exc)
+        )
+
+
+def write_lake(
+    df: DataFrame,
+    dest: "DestLake",
+    table_name: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> DestinationResponse:
+    """Partitioned lakehouse delivery: ``base_path/table_name/col=value/``
+    directories via :func:`write_partitioned_table` — the distributed
+    layout write, with the same observe-counted receipt as every other
+    destination."""
+    target = os.path.join(dest.base_path, table_name)
+    try:
+        if not partition_by:
+            raise ValueError("lake destination requires partition_by")
+        n = write_partitioned_table(
+            df, target, partition_cols=partition_by, sort_cols=sort_by, fmt=fmt
+        )
+        return DestinationResponse(
+            destination_name=dest.name,
+            status="success",
+            message=f"wrote {target} partitioned by {partition_by}",
+            records_processed=n,
+        )
+    except Exception as exc:
+        return DestinationResponse(
+            destination_name=dest.name, status="failure", message=str(exc)
         )
 
 

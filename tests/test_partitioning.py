@@ -104,3 +104,53 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_runner_lake_destination(spark, sf_dir, tmp_path):
+    """The pipeline runtime's lake delivery: config -> runner -> Hive-
+    partitioned table, and the written layout partition-prunes on read."""
+    from data_bridge_spark.plans.models import LoadStep, Stream, TransformStep
+    from data_bridge_spark.plans.runner import StreamRunner
+
+    stream = Stream(
+        name="lake_stream",
+        sources=[
+            {
+                "protocol": "file",
+                "name": "orders_src",
+                "path": f"{sf_dir}/orders.parquet",
+                "format": "parquet",
+            }
+        ],
+        destinations=[
+            {"protocol": "lake", "name": "lake", "base_path": str(tmp_path)}
+        ],
+        steps=[
+            {
+                "step_type": "extract",
+                "name": "pull",
+                "source": "orders_src",
+                "output": "orders",
+            },
+            LoadStep(
+                name="ship",
+                destination="lake",
+                input="orders",
+                file_name="orders_tbl",
+                format="parquet",
+                partition_by=["o_orderpriority"],
+                sort_by=["o_custkey"],
+            ),
+        ],
+    )
+    result = StreamRunner(spark, stream).run()
+    assert result.status == "success", result
+    n_src = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert result.dest_responses[0].records_processed == n_src
+
+    df = spark.read.parquet(str(tmp_path / "orders_tbl")).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = _scan_desc(df)
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters")[1][:200]
