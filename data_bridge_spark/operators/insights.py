@@ -201,7 +201,10 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       does NOT apply here — pair *counts* are the answer, so a capped
       basket cannot be summarized by a star). The number of dropped
       baskets is surfaced as a constant ``n_dropped_baskets`` audit
-      column so a nonzero drop is visible in the result, not silent.
+      column on every surviving pair row. (If NO pair survives the
+      support filter the result is empty and the count has no row to
+      ride — an empty result from a non-empty corpus is itself the
+      signal to inspect the inputs.)
       On this schema baskets are orders (~4-7 lines), so the cap never
       fires outside synthetic tests (tests/test_operators.py grows a
       mega-basket and asserts bounded expansion + the counted drop).

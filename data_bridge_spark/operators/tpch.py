@@ -987,7 +987,7 @@ _Q11_FRACTION = "0.001"  # DECIMAL(6,4) literal on both sides
     oracle=f"""
     WITH grouped AS (
         SELECT l.l_partkey AS partkey,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))) AS DECIMAL(18,4)) AS value_d
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))) AS DECIMAL(28,4)) AS value_d
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
@@ -995,7 +995,7 @@ _Q11_FRACTION = "0.001"  # DECIMAL(6,4) literal on both sides
         GROUP BY 1
     ),
     total AS (
-        SELECT CAST(SUM(value_d) AS DECIMAL(18,4)) AS total_d FROM grouped
+        SELECT CAST(SUM(value_d) AS DECIMAL(28,4)) AS total_d FROM grouped
     )
     SELECT g.partkey, CAST(g.value_d AS DOUBLE) AS value
     FROM grouped g, total t
@@ -1016,8 +1016,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total back via crossJoin — the declared scalar-edge pattern, not a
     second fact scan. The threshold comparison is DECIMAL * DECIMAL >
     DECIMAL, exact in both engines, so boundary rows cannot flake.
-    supplier+nation broadcast; the single fact shuffle is the partkey
-    aggregation."""
+    DECIMAL(28,4) gives the grand total ~10^24 of headroom — a narrower
+    collapse (say 18,4) would overflow to NULL around petabyte scale and
+    silently return zero rows. supplier+nation broadcast; the single
+    fact shuffle is the partkey aggregation."""
     t = Tables(spark, sf_dir)
     grouped = (
         t.lineitem.join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1026,10 +1028,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey") == F.col("s_nationkey"),
         )
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(dmoney("l_extendedprice")).cast("decimal(18,4)").alias("value_d"))
+        .agg(F.sum(dmoney("l_extendedprice")).cast("decimal(28,4)").alias("value_d"))
         .localCheckpoint(eager=False)
     )
-    total = grouped.agg(F.sum("value_d").cast("decimal(18,4)").alias("total_d"))
+    total = grouped.agg(F.sum("value_d").cast("decimal(28,4)").alias("total_d"))
     return (
         grouped.crossJoin(F.broadcast(total))
         .filter(F.col("value_d") > F.col("total_d") * F.lit(_Q11_FRACTION).cast("decimal(6,4)"))

@@ -22,7 +22,7 @@ import datetime as dt
 from collections.abc import Callable
 from typing import Annotated, Any, Literal, Union
 
-from pydantic import BaseModel, ConfigDict, Field
+from pydantic import BaseModel, ConfigDict, Field, model_validator
 
 # ---------------------------------------------------------------- sources
 
@@ -212,7 +212,9 @@ class LoadStep(BaseModel):
     destination: str
     input: str
     file_name: str = "output.csv"
-    format: Literal["csv", "parquet", "json"] = "csv"
+    # None -> destination default (csv for file-artifact sinks, parquet
+    # for lake); an EXPLICIT value is honored or rejected, never coerced
+    format: Literal["csv", "parquet", "json"] | None = None
     single_file: bool = True  # reference semantics: one artifact per load
     # lake-only: partition column(s) and optional in-file sort columns
     partition_by: list[str] = Field(default_factory=list)
@@ -253,6 +255,30 @@ class Stream(BaseModel):
             if d.name == name:
                 return d
         raise KeyError(f"unknown destination {name!r}")
+
+    @model_validator(mode="after")
+    def _validate_lake_loads(self) -> "Stream":
+        """Lake-load rules fail at config time, not after the cluster has
+        run every upstream step: partition_by is required, and csv (a
+        headerless-schema format with no statistics) is rejected rather
+        than silently rewritten."""
+        dests = {d.name: d for d in self.destinations}
+        for step in self.steps:
+            if getattr(step, "step_type", "") != "load":
+                continue
+            dest = dests.get(step.destination)
+            if dest is None or dest.protocol != "lake":
+                continue
+            if not step.partition_by:
+                raise ValueError(
+                    f"load step {step.name!r}: lake destination requires partition_by"
+                )
+            if step.format == "csv":
+                raise ValueError(
+                    f"load step {step.name!r}: csv is not supported for lake "
+                    "tables (no types/stats for pruning); use parquet or json"
+                )
+        return self
 
 
 class DestinationResponse(BaseModel):

@@ -186,22 +186,21 @@ class StreamRunner:
                 dest.mount_path,
                 dest.remote_dir,
                 step.file_name,
-                fmt=step.format,
+                fmt=step.format or "csv",
                 single_file=step.single_file,
                 destination_name=dest.name,
             )
         if dest.protocol == "lake":
-            fmt = "parquet" if step.format == "csv" else step.format
             return write_lake(
                 df,
                 dest,
                 table_name=step.file_name,
                 partition_by=step.partition_by,
                 sort_by=step.sort_by or None,
-                fmt=fmt,
+                fmt=step.format or "parquet",
             )
         if dest.protocol == "sftp":
-            return write_sftp(df, dest, step.file_name, fmt=step.format, transport=transport)
+            return write_sftp(df, dest, step.file_name, fmt=step.format or "csv", transport=transport)
         if dest.protocol == "smtp":
             return write_smtp(
                 df,

@@ -116,14 +116,27 @@ def write_partitioned_table(
     columns become selective — the poor-man's clustering that lets
     parquet row-group skipping work on a second dimension the directory
     layout doesn't cover. Row count comes from the write job's own
-    ``observe`` metrics, like :func:`write_table`."""
+    ``observe`` metrics, like :func:`write_table`.
+
+    Task distribution: hashing on the partition columns alone would give
+    each partition VALUE exactly one writer task — a straggler sorting
+    one giant file per hot partition once the column is low-cardinality
+    or skewed. With ``sort_cols`` the data is range-partitioned on
+    (partition, sort) so a hot partition value splits across tasks by
+    sort range and each task still emits one internally-sorted file;
+    without them, a deterministic hash salt spreads each value over
+    multiple writer tasks/files."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     obs = Observation()
-    out = df.repartition(*[F.col(c) for c in partition_cols])
+    pcols = [F.col(c) for c in partition_cols]
     if sort_cols:
+        out = df.repartitionByRange(*pcols, *[F.col(c) for c in sort_cols])
         out = out.sortWithinPartitions(*[*partition_cols, *sort_cols])
+    else:
+        salt = F.pmod(F.abs(F.hash(*[F.col(c) for c in df.columns])), F.lit(64))
+        out = df.repartition(*pcols, salt)
     out = out.observe(obs, F.count(F.lit(1)).alias("n"))
     writer = out.write.mode(mode).partitionBy(*partition_cols)
     if fmt == "parquet":

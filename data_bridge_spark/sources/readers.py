@@ -74,11 +74,12 @@ def read_jdbc(
     Spark-side filters layered ON TOP of the rendered query are pushed
     into the remote WHERE clause (on by default; the plan shows them as
     ``PushedFilters`` — tests/test_jdbc.py asserts both states against
-    live Derby). ``push_down_limit`` / ``push_down_aggregate`` are
-    honored by the DataSource-V2 JDBC path (see
-    :func:`register_jdbc_catalog`); they are recorded here too so a
-    plan built through this reader keeps the same contract if Spark
-    routes it through V2.
+    live Derby). ``push_down_limit`` / ``push_down_aggregate`` set the
+    same-named JDBC options, which the V1 ``format("jdbc")`` relation
+    does NOT consult — aggregate/limit pushdown only engages on the
+    DataSource-V2 catalog path, where :func:`register_jdbc_catalog`
+    takes the equivalent parameters. They are recorded here only so a
+    reader spec carried over to V2 keeps its contract.
     """
     rendered = render_sql(
         query, params or {}, step_outputs, dialect=getattr(src, "dialect", "ansi")
@@ -111,7 +112,13 @@ def read_jdbc(
     return reader.load()
 
 
-def register_jdbc_catalog(spark: SparkSession, name: str, src: "SourceSql") -> None:
+def register_jdbc_catalog(
+    spark: SparkSession,
+    name: str,
+    src: "SourceSql",
+    push_down_aggregate: bool = True,
+    push_down_limit: bool = True,
+) -> None:
     """Expose a JDBC source as a Spark SQL catalog (DataSource V2).
 
     ``spark.sql(f"SELECT ... FROM {name}.schema.table")`` then plans
@@ -125,8 +132,8 @@ def register_jdbc_catalog(spark: SparkSession, name: str, src: "SourceSql") -> N
     base = f"spark.sql.catalog.{name}"
     spark.conf.set(base, "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
     spark.conf.set(f"{base}.url", src.url)
-    spark.conf.set(f"{base}.pushDownAggregate", "true")
-    spark.conf.set(f"{base}.pushDownLimit", "true")
+    spark.conf.set(f"{base}.pushDownAggregate", str(push_down_aggregate).lower())
+    spark.conf.set(f"{base}.pushDownLimit", str(push_down_limit).lower())
     if src.driver:
         spark.conf.set(f"{base}.driver", src.driver)
     if src.user:

@@ -32,3 +32,8 @@ def duck():
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
     return con
+
+
+def plan_string(df) -> str:
+    """Executed physical plan as text (shared by plan-assertion tests)."""
+    return df._jdf.queryExecution().executedPlan().toString()

@@ -113,8 +113,7 @@ def test_runner_jdbc_extract_step(spark, derby, tmp_path):
     assert "cyd" in content and "dee" in content and "ada" not in content
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from tests.conftest import plan_string as _plan
 
 
 def test_jdbc_predicate_pushdown_in_plan(spark, derby):

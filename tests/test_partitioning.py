@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_bridge_spark.sinks.writers import write_partitioned_table
+from tests.conftest import plan_string
 
 
 @pytest.fixture(scope="module")
@@ -32,8 +33,7 @@ def part_orders(spark, sf_dir, tmp_path_factory):
     return path
 
 
-def _scan_desc(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+_scan_desc = plan_string
 
 
 def test_static_partition_pruning(spark, part_orders):
@@ -52,16 +52,23 @@ def test_dynamic_partition_pruning(spark, sf_dir, part_orders):
     runtime dynamicpruning subquery, not as a post-join filter."""
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
-    # DPP's planner heuristic wants a SELECTIVE predicate on the dim side
-    # — an unfiltered dim would legitimately read every partition
-    dim = spark.createDataFrame(
-        [("1-URGENT", 1), ("2-HIGH", 2)], "o_orderpriority STRING, rank INT"
-    ).filter(F.col("rank") == 1)
-    fact = spark.read.parquet(part_orders)
-    joined = fact.join(dim, "o_orderpriority")
-    plan = _scan_desc(joined).lower()
-    assert "dynamicpruning" in plan, plan
-    assert joined.count() == fact.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    try:
+        # DPP's planner heuristic wants a SELECTIVE predicate on the dim
+        # side — an unfiltered dim would legitimately read every partition
+        dim = spark.createDataFrame(
+            [("1-URGENT", 1), ("2-HIGH", 2)], "o_orderpriority STRING, rank INT"
+        ).filter(F.col("rank") == 1)
+        fact = spark.read.parquet(part_orders)
+        joined = fact.join(dim, "o_orderpriority")
+        plan = _scan_desc(joined).lower()
+        assert "dynamicpruning" in plan, plan
+        assert (
+            joined.count()
+            == fact.filter(F.col("o_orderpriority") == "1-URGENT").count()
+        )
+    finally:
+        # the session is shared suite-wide — leave no non-default confs
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
 
 
 def test_sort_within_partitions_layout(spark, part_orders):
