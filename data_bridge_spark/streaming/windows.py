@@ -142,6 +142,31 @@ def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def stream_to_lake(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_cols: list[str],
+):
+    """Continuous partitioned-lakehouse ingestion: the streaming twin of
+    sinks.writers.write_partitioned_table. The parquet file sink commits
+    each micro-batch through its transaction log (``_spark_metadata``),
+    so a batch is visible atomically and a restart from the checkpoint
+    neither loses nor duplicates files — exactly-once landing into the
+    same Hive-style ``col=value/`` layout batch reads partition-prune
+    on. Returns the StreamingQuery handle (availableNow trigger: drain
+    what exists, then stop — the batch-backfill-compatible mode)."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(*partition_cols)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def deliver_stream(
     stream_df: DataFrame,
     sink_fn,

@@ -86,3 +86,42 @@ def test_state_survives_restart(spark, sf_dir, tmp_path):
     }
     for r in run2:
         assert r.n_events == truth[r.user_id], f"user {r.user_id} lost state on restart"
+
+
+def test_lake_sink_exactly_once_across_restart(spark, sf_dir, tmp_path):
+    """Streaming parquet lake sink: run 1 drains half the events into a
+    partitioned layout, run 2 (same checkpoint) drains only the newly
+    landed half — total rows exactly match the source, no duplicates,
+    and the layout partition-prunes."""
+    from data_bridge_spark.streaming.windows import stream_to_lake
+
+    flat = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    lake = str(tmp_path / "lake")
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(spark.read.parquet(flat).schema)
+            .format("parquet")
+            .load(flat)
+        )
+        events = normalize_event_ts(raw, as_ntz=False)
+        q = stream_to_lake(events, lake, ckpt, partition_cols=["event_type"])
+        q.processAllAvailable()
+        q.stop()
+
+    _write_half(spark, sf_dir, flat, 0)
+    run_once()
+    n_first = spark.read.parquet(lake).count()
+    _write_half(spark, sf_dir, flat, 1)
+    run_once()
+
+    out = spark.read.parquet(lake)
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert n_first < out.count() == src.count()
+    assert out.select("event_id").distinct().count() == src.count()
+    # layout prunes
+    one_type = out.filter(F.col("event_type") == out.select("event_type").first()[0])
+    from tests.conftest import plan_string
+
+    assert "PartitionFilters" in plan_string(one_type)
