@@ -979,7 +979,12 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q11_NATION = "NATION_7"
-_Q11_FRACTION = "0.001"  # DECIMAL(6,4) literal on both sides
+# threshold: value above 2x the nation's MEAN per-part share. The
+# canonical Q11 fraction is 0.0001/SF — a constant that must shrink as
+# the corpus grows or the result set collapses to empty (a fixed 0.001
+# returned 0 rows at sf0.1); deriving it from the same aggregate keeps
+# the query scale-invariant with no external SF parameter.
+_Q11_MULT = "2.0"
 
 
 @register(
@@ -995,11 +1000,14 @@ _Q11_FRACTION = "0.001"  # DECIMAL(6,4) literal on both sides
         GROUP BY 1
     ),
     total AS (
-        SELECT CAST(SUM(value_d) AS DECIMAL(28,4)) AS total_d FROM grouped
+        SELECT CAST(SUM(value_d) AS DECIMAL(28,4)) AS total_d,
+               COUNT(*) AS n_parts
+        FROM grouped
     )
     SELECT g.partkey, CAST(g.value_d AS DOUBLE) AS value
     FROM grouped g, total t
-    WHERE g.value_d > t.total_d * CAST({_Q11_FRACTION} AS DECIMAL(6,4))
+    WHERE CAST(g.value_d AS DOUBLE) * t.n_parts
+          > CAST(t.total_d AS DOUBLE) * {_Q11_MULT}
     ORDER BY value DESC, partkey ASC
     """,
     tags=("tpch", "agg", "subquery", "having"),
@@ -1018,8 +1026,13 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL, exact in both engines, so boundary rows cannot flake.
     DECIMAL(28,4) gives the grand total ~10^24 of headroom — a narrower
     collapse (say 18,4) would overflow to NULL around petabyte scale and
-    silently return zero rows. supplier+nation broadcast; the single
-    fact shuffle is the partkey aggregation."""
+    silently return zero rows. The threshold is value > 2x the mean
+    per-part share, compared division-free as value*n_parts >
+    total*2.0: both sides are one exact-decimal→double conversion and
+    one IEEE multiply — bit-deterministic across engines — and the
+    derived threshold keeps the result non-degenerate at every SF where
+    a fixed fraction empties out as #parts grows. supplier+nation
+    broadcast; the single fact shuffle is the partkey aggregation."""
     t = Tables(spark, sf_dir)
     grouped = (
         t.lineitem.join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1031,10 +1044,16 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dmoney("l_extendedprice")).cast("decimal(28,4)").alias("value_d"))
         .localCheckpoint(eager=False)
     )
-    total = grouped.agg(F.sum("value_d").cast("decimal(28,4)").alias("total_d"))
+    total = grouped.agg(
+        F.sum("value_d").cast("decimal(28,4)").alias("total_d"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         grouped.crossJoin(F.broadcast(total))
-        .filter(F.col("value_d") > F.col("total_d") * F.lit(_Q11_FRACTION).cast("decimal(6,4)"))
+        .filter(
+            F.col("value_d").cast("double") * F.col("n_parts")
+            > F.col("total_d").cast("double") * float(_Q11_MULT)
+        )
         .select("partkey", F.col("value_d").cast("double").alias("value"))
         .orderBy(F.desc("value"), F.asc("partkey"))
     )
