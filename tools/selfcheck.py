@@ -98,9 +98,21 @@ def main() -> int:
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    def drop_dead_blocks() -> None:
+        """Unpersist dead localCheckpoint blocks between queries — a long
+        sweep otherwise accumulates gigabytes of orphaned blocks whose GC
+        pressure can wedge the JVM mid-sweep (seen at sf0.1: a 12s query
+        stalled 80+ minutes in an r5 sweep). Blocking, like bench.py."""
+        try:
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist(True)
+        except Exception:
+            spark.catalog.clearCache()
+
     failures: list[str] = []
     for name in names:
         q = registry[name]
+        drop_dead_blocks()
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
