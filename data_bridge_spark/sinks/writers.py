@@ -148,6 +148,50 @@ def write_partitioned_table(
     return int(obs.get["n"])
 
 
+def compact_partitioned_table(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction for a Hive-partitioned parquet table.
+
+    Streaming ingestion and salted writes both leave many small files
+    per partition directory; at scale that turns every scan into a
+    file-listing and task-scheduling problem (N tasks for N tiny files)
+    and row-group statistics lose selectivity. Compaction rewrites the
+    table through the same layout path (`write_partitioned_table`, so
+    sort clustering is re-established) with ``maxRecordsPerFile``
+    bounding file size, into a sibling temp directory, then swaps it in
+    — readers see either the old table or the new one, never a partial
+    rewrite. Returns rows rewritten.
+
+    Concurrency note: the swap is atomic against READERS on a POSIX
+    filesystem (rename); a concurrent WRITER to the old path is lost —
+    at cluster scale pause ingestion or use a table format with commit
+    logs (the streaming lake sink's ``_spark_metadata`` already gives
+    single-writer atomicity)."""
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compacting"
+    old = path.rstrip("/") + "._replaced"
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", None)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_records_per_file))
+    try:
+        n = write_partitioned_table(
+            df, tmp, partition_cols=partition_cols, sort_cols=sort_cols
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        else:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
 def write_fileshare(
     df: DataFrame,
     mount_path: str,

@@ -161,3 +161,30 @@ def test_runner_lake_destination(spark, sf_dir, tmp_path):
     plan = _scan_desc(df)
     assert "PartitionFilters" in plan
     assert "o_orderpriority" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    """The salted layout write leaves many files per partition; compaction
+    collapses them and the row multiset is unchanged."""
+    import glob
+    import os
+
+    from data_bridge_spark.sinks.writers import compact_partitioned_table
+
+    path = str(tmp_path / "events_tbl")
+    events = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # simulate streaming/salted fragmentation: 20 writer tasks each leave
+    # a file in every partition directory
+    events.repartition(20).write.partitionBy("o_orderpriority").parquet(path)
+    files_before = glob.glob(os.path.join(path, "*", "part-*.parquet"))
+    before = spark.read.parquet(path).groupBy("o_orderkey").count().count()
+
+    n = compact_partitioned_table(
+        spark, path, partition_cols=["o_orderpriority"], sort_cols=["o_custkey"]
+    )
+    files_after = glob.glob(os.path.join(path, "*", "part-*.parquet"))
+    assert len(files_after) < len(files_before)
+    assert n == events.count()
+    after = spark.read.parquet(path)
+    assert after.count() == events.count()
+    assert after.groupBy("o_orderkey").count().count() == before
