@@ -42,10 +42,10 @@ def _ngrams(words: F.Column, n: int) -> F.Column:
 
 _BENCH_MAX_DOC = 25  # doc_id < 25 plays the held-out benchmark set
 
-
-@register(
-    "text_decontaminate",
-    oracle=f"""
+# Exact decontamination semantics, shared verbatim by text_decontaminate
+# (broadcast plan) and text_decontaminate_bloom (bloom-prefilter plan):
+# both must produce the identical per-doc distinct-shared-trigram counts.
+_DECON_ORACLE = f"""
     WITH tri AS (
       SELECT doc_id, unnest(list_transform(
                list_filter(list_zip(words, words[2:], words[3:]), s -> s[3] IS NOT NULL),
@@ -57,7 +57,12 @@ _BENCH_MAX_DOC = 25  # doc_id < 25 plays the held-out benchmark set
     SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM corpus c JOIN bench b USING (shingle)
     GROUP BY c.doc_id
-    """,
+    """
+
+
+@register(
+    "text_decontaminate",
+    oracle=_DECON_ORACLE,
     tags=("text", "decontaminate", "mlprep"),
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,6 +86,87 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = tri.filter(F.col("doc_id") >= _BENCH_MAX_DOC).distinct()
     return (
         corpus.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+_BLOOM_M = 1 << 16  # bloom bits (must be a multiple of 64)
+_BLOOM_K = 3  # probes per shingle
+
+
+def _bloom_pos(shingle: F.Column, seed: int) -> F.Column:
+    """Probe position for one bloom hash: xxhash64 with a distinct seed
+    column, folded into [0, m). JVM-side, codegen'd."""
+    return F.pmod(F.xxhash64(shingle, F.lit(seed)), F.lit(_BLOOM_M))
+
+
+@register(
+    "text_decontaminate_bloom",
+    oracle=_DECON_ORACLE,
+    tags=("text", "decontaminate", "mlprep", "sketch"),
+)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a Bloom prefilter — same exact output
+    as `text_decontaminate` (the shared oracle proves it), different
+    physical plan for the regime where the benchmark shingle set is too
+    large to broadcast as strings (a multi-benchmark suite at 100 TB runs
+    to 10^8+ distinct n-grams; hundreds of MB of Java strings per
+    executor).
+
+    Plan: (1) the benchmark shingles are folded into an m-bit Bloom
+    bitmap stored as a (word_idx, 64-bit lane) DataFrame of at most m/64
+    rows — built with one explode + `bit_or` aggregation, so the bitmap
+    costs bytes-per-BIT, ~50x less than broadcasting the strings; (2) the
+    corpus side tests its k probe positions via k successive BROADCAST
+    joins against that lane table plus a bitwise-AND filter — all
+    whole-stage-codegen expressions, zero shuffle of corpus rows; (3)
+    only the surviving candidates (true matches + the bloom's false
+    positives) pay the exact shingle-key join and the (doc_id, shingle)
+    distinct, so the exact-verification shuffle carries the candidate
+    set, not the corpus. False positives are eliminated by the exact
+    join, which is why the output — unlike the sketch itself — stays
+    value-oracle-able. The bench shingle set is `localCheckpoint`'d: it
+    feeds both the bitmap build and the exact verify, and must not
+    recompute its scan per consumer. m=2^16/k=3 sizes the demo; at
+    production scale m grows with the benchmark set (16M lanes at 10^9
+    bits) and the lane table still broadcasts in ~128 MB."""
+    t = Tables(spark, sf_dir)
+    tri = t.documents.select(
+        "doc_id", F.explode(_ngrams(_words(F.col("text")), 3)).alias("shingle")
+    )
+    bench = (
+        tri.filter(F.col("doc_id") < _BENCH_MAX_DOC)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lanes = (
+        bench.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("shingle"), i) for i in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .select(
+            F.floor(F.col("pos") / 64).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    cand = tri.filter(F.col("doc_id") >= _BENCH_MAX_DOC)
+    for i in range(_BLOOM_K):
+        lane = lanes.select(F.col("w").alias(f"w{i}"), F.col("bits").alias(f"bits{i}"))
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos{i}, 64) AS INT))")
+        cand = (
+            cand.withColumn(f"pos{i}", _bloom_pos(F.col("shingle"), i))
+            .join(F.broadcast(lane), F.floor(F.col(f"pos{i}") / 64) == F.col(f"w{i}"), "inner")
+            .filter(F.col(f"bits{i}").bitwiseAND(mask) != 0)
+            .drop(f"w{i}", f"bits{i}", f"pos{i}")
+        )
+    return (
+        cand.distinct()
+        .join(bench, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -133,3 +133,28 @@ def test_write_table_single_execution(spark, sf_dir, tmp_path):
     jobs = sc.statusTracker().getJobIdsForGroup("wt_single")
     assert n == df.count()
     assert len(jobs) == 1, f"expected one Spark job for the delivery, got {jobs}"
+
+
+def test_partsupp_family_single_fact_scan(spark, sf_dir):
+    """Q2/Q20/Q16 docstrings claim one lineitem pass (window-min instead
+    of agg-and-self-join; conditional agg instead of two scans) with all
+    dims broadcast — the claims must hold in the executed plans."""
+    q2 = plan_of(REG["tpch_q2_min_cost_supplier"].fn(spark, sf_dir))
+    assert q2.count("lineitem.parquet") == 1  # correlated MIN via Window, not a self-join
+    assert "Window" in q2 and "SortMergeJoin" not in q2
+
+    q20 = plan_of(REG["tpch_q20_promotion_supplier"].fn(spark, sf_dir))
+    assert q20.count("lineitem.parquet") == 1  # in-window vs all-time via conditional agg
+    assert "LeftSemi" in q20 and "SortMergeJoin" not in q20
+
+    q16 = plan_of(REG["tpch_q16_supplier_cnt"].fn(spark, sf_dir))
+    assert q16.count("lineitem.parquet") == 1
+    assert "LeftAnti" in q16  # NOT IN on a non-null key planned as anti-join
+
+
+def test_bloom_decontaminate_probes_are_broadcast(spark, sf_dir):
+    """The bloom lane-table probes must plan as broadcast hash joins
+    (zero corpus shuffle before the exact verify) — k probe joins plus
+    the exact join; no sort-merge anywhere on the corpus path."""
+    plan = plan_of(REG["text_decontaminate_bloom"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
