@@ -91,6 +91,13 @@ def _nearest_cell(emb_col: F.Column, centroids: list[list[float]]) -> F.Column:
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+def _seed_hash(vec_id: F.Column) -> F.Column:
+    """Cross-engine-reproducible pseudo-random seed order (md5, not
+    xxhash64 — DuckDB has no xxhash64, and the oracle must replay the
+    exact seed choice)."""
+    return F.md5(F.concat(F.lit("ivf-"), vec_id.cast("string")))
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int = _IVF_K,
@@ -106,13 +113,20 @@ def kmeans_centroids(
     map-side partial aggregation. That is the shape that survives 100 TB:
     iteration cost = one scan + one tiny agg, independent of k×N.
 
-    Determinism: seeds are the k rows with smallest xxhash64(vec_id);
-    centroid updates decimal-sum each dimension (order-insensitive) before
-    the double divide; empty cells keep their previous centroid.
+    Determinism — every step is reproducible in ANSI SQL, which is what
+    lets `sim_ivf` carry a full DuckDB oracle despite being an iterative
+    trained-ANN plan: seeds are the k rows with smallest
+    (md5('ivf-' || vec_id), vec_id) — a hash both engines compute
+    identically, unlike xxhash64 — and the seed ORDER defines cell ids;
+    centroid updates quantize components to DECIMAL(12,6) (the
+    embed_centroid rule: ROUND is half-away-from-zero in both engines)
+    and decimal-sum them (order-insensitive, exact) before ONE IEEE
+    double divide; empty cells keep their previous centroid; nearest-cell
+    ties resolve to the lowest cell index.
     """
     seed_rows = (
         emb.select("vec_id", "embedding")
-        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .orderBy(_seed_hash(F.col("vec_id")), F.col("vec_id"))
         .limit(k)
         .collect()
     )
@@ -126,7 +140,11 @@ def kmeans_centroids(
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
-                    F.sum(F.element_at("embedding", i + 1).cast("decimal(28,10)")).alias(f"s{i}")
+                    F.sum(
+                        F.round(F.element_at("embedding", i + 1).cast("double"), 6).cast(
+                            "decimal(12,6)"
+                        )
+                    ).alias(f"s{i}")
                     for i in range(dim)
                 ],
             )
@@ -155,9 +173,103 @@ _BUCKET_SQL = (
 )
 
 
+def _cos_lists(a: str, b: str) -> str:
+    """DuckDB cosine between two list expressions — the same sequential
+    left fold over doubles as functions/vectors.cosine_similarity (the
+    bit-match is proven by every sim_* oracle)."""
+    return f"""(list_aggregate(list_transform(list_zip({a}, {b}),
+        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+    / (SQRT(list_aggregate(list_transform({a},
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * SQRT(list_aggregate(list_transform({b},
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))"""
+
+
+def _ivf_oracle_sql(k: int, iters: int, nprobe: int) -> str:
+    """Unrolled Lloyd's k-means + IVF search as DuckDB CTE chains — the
+    exact twin of `kmeans_centroids` + `sim_ivf` (same md5 seed order,
+    same DECIMAL(12,6) quantized centroid sums, same double cosine fold,
+    same tie rules: assignment → lowest cell, probe cell ranking → sim
+    DESC then cell DESC mirroring reverse(array_sort(struct(sim,cell))),
+    final rank → cos DESC then cand_id). Fixed iteration count makes the
+    'iterative' algorithm SQL-expressible, the same unrolling trick as
+    graph.py's PageRank oracle."""
+    seed_order = "MD5('ivf-' || CAST(vec_id AS VARCHAR)), vec_id"
+    parts = [
+        f"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    q2 AS (
+        SELECT vec_id, pos,
+               CAST(ROUND(CAST(embedding[pos + 1] AS DOUBLE), 6) AS DECIMAL(12,6)) AS q
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(0, len(embedding) - 1)) AS pos
+              FROM emb)
+    ),
+    centL0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY {seed_order}) - 1 AS cell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        FROM emb ORDER BY {seed_order} LIMIT {k}
+    )"""
+    ]
+    for t in range(iters):
+        parts.append(f""",
+    assign{t} AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos_lists('e.embedding', 'c.cent')} DESC, c.cell ASC) AS rn
+            FROM emb e CROSS JOIN centL{t} c
+        ) WHERE rn = 1
+    ),
+    upd{t} AS (
+        SELECT a.cell, q.pos, CAST(SUM(q.q) AS DOUBLE) / COUNT(*) AS c
+        FROM assign{t} a JOIN q2 q USING (vec_id)
+        GROUP BY a.cell, q.pos
+    ),
+    centL{t + 1} AS (
+        SELECT p.cell, COALESCE(u.cent, p.cent) AS cent
+        FROM centL{t} p
+        LEFT JOIN (SELECT cell, list(c ORDER BY pos) AS cent
+                   FROM upd{t} GROUP BY cell) u USING (cell)
+    )""")
+    parts.append(f""",
+    simsF AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {_cos_lists('e.embedding', 'c.cent')} AS sim
+        FROM emb e CROSS JOIN centL{iters} c
+    ),
+    assignF AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+            FROM simsF
+        ) WHERE rn = 1
+    ),
+    pcells AS (
+        SELECT vec_id AS probe_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS crn
+            FROM simsF WHERE vec_id < 20
+        ) WHERE crn <= {nprobe}
+    )
+    SELECT probe_id, cand_id, cos_sim, rk FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               {_COS_SQL} AS cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY {_COS_SQL} DESC, c.vec_id ASC
+               ) AS INTEGER) AS rk
+        FROM pcells pc
+        JOIN emb p ON p.vec_id = pc.probe_id
+        JOIN assignF a ON a.cell = pc.cell
+        JOIN emb c ON c.vec_id = a.vec_id
+        WHERE c.vec_id <> p.vec_id
+    ) WHERE rk <= 5""")
+    return "".join(parts)
+
+
 @register(
     "sim_ivf",
-    oracle=None,  # multi-stage ANN with trained float centroids → rows-only
+    oracle=_ivf_oracle_sql(_IVF_K, _IVF_ITERS, _IVF_NPROBE),
     tags=("similarity", "topk", "ivf"),
 )
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,6 +282,15 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the cell id — hash-partitioned, no probe×all cross join
     anywhere. Recall vs the exact ``sim_topk`` is gated in
     ``tests/test_similarity.py``.
+
+    Value-oracled despite being a trained iterative ANN: every source of
+    nondeterminism was pinned (md5 seed order, quantized decimal centroid
+    sums with one IEEE divide, total tie orders at every rank), so the
+    whole train→assign→probe→search chain replays exactly in DuckDB as
+    unrolled CTEs (`_ivf_oracle_sql`). Scale note: the decimal sums ride
+    int64×10^6 per (cell, dim); DuckDB's decimal→double conversion is
+    exact while the scaled sum stays under 2^53 (~10^9 unit-norm rows per
+    cell) — beyond that, re-derive the oracle rather than trust the cast.
     """
     t = Tables(spark, sf_dir)
     emb = t.embeddings
