@@ -219,3 +219,141 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(label).alias("edge"), "n_child", "n_orphans")
         )
     return out
+
+
+# --- snapshot diff -----------------------------------------------------------
+# Synthetic "new snapshot" of customer, derived deterministically so the
+# diff exercises all three change classes: every 5th key changes segment,
+# every 11th key is deleted, and every 13th key re-appears under a
+# shifted key (an insert). Same pattern as scd2_merge's update feed.
+_DIFF_CHANGED_MOD = 5
+_DIFF_REMOVED_MOD = 11
+_DIFF_ADDED_MOD = 13
+_DIFF_ADDED_SHIFT = 1_000_000
+
+
+@register(
+    "snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+    ),
+    new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % {_DIFF_CHANGED_MOD} = 0
+                    THEN 'SEG_' || c_mktsegment ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % {_DIFF_REMOVED_MOD} <> 0
+        UNION ALL
+        SELECT c_custkey + {_DIFF_ADDED_SHIFT}, c_mktsegment
+        FROM customer WHERE c_custkey % {_DIFF_ADDED_MOD} = 0
+    )
+    SELECT CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           o.c_mktsegment AS old_segment,
+           n.c_mktsegment AS new_segment
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+    """,
+    tags=("warehouse", "diff"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff — the added/removed/changed classification
+    between two snapshots of a keyed table, the audit primitive behind
+    lake time-travel comparisons, replication validation, and CDC
+    backfills (here on two deterministic customer snapshots).
+
+    One full outer join on the key — both sides hash-partition on
+    c_custkey, so the exchange is co-located, and the unchanged mass
+    (the overwhelming majority at 100 TB) is dropped inside the join's
+    output filter without ever being collected or re-shuffled; the diff
+    result is proportional to the churn, not the table. Attribute
+    comparison uses null-safe inequality (IS DISTINCT FROM), so NULL→
+    value and value→NULL edits are real changes, not misses."""
+    t = Tables(spark, sf_dir)
+    old = t.customer.select("c_custkey", "c_mktsegment")
+    new = (
+        t.customer.filter(F.col("c_custkey") % _DIFF_REMOVED_MOD != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % _DIFF_CHANGED_MOD == 0,
+                F.concat(F.lit("SEG_"), F.col("c_mktsegment")),
+            )
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            t.customer.filter(F.col("c_custkey") % _DIFF_ADDED_MOD == 0).select(
+                (F.col("c_custkey") + _DIFF_ADDED_SHIFT).alias("c_custkey"),
+                "c_mktsegment",
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    return joined.filter(
+        F.col("o.c_custkey").isNull()
+        | F.col("n.c_custkey").isNull()
+        | ~F.col("o.c_mktsegment").eqNullSafe(F.col("n.c_mktsegment"))
+    ).select(
+        F.when(F.col("o.c_custkey").isNull(), "added")
+        .when(F.col("n.c_custkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+        F.col("o.c_mktsegment").alias("old_segment"),
+        F.col("n.c_mktsegment").alias("new_segment"),
+    )
+
+
+@register(
+    "table_checksum",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(('0x' || substr(MD5(
+                  CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment
+               ), 1, 12)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+    FROM customer
+    """,
+    tags=("warehouse", "integrity"),
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content fingerprint: per-row md5 over a
+    canonical '|'-joined column encoding, folded with an exact decimal
+    SUM — equal tables give equal checksums on ANY engine, partitioning,
+    or row order, which is what makes this the cheap cross-cluster
+    equality check for replicated 100 TB tables (one scan, map-side
+    partial sums, a 1-row exchange; compare one string per replica).
+
+    md5 (not xxhash64) so any SQL engine can replay it; the summed
+    48-bit hash prefixes ride an exact DECIMAL(38,0) — no modular
+    truncation, no float, headroom to ~10^23 rows. Keyless/unordered by
+    construction: a moved row changes nothing, a single flipped byte
+    changes the sum. Demo columns are int/string; production wrappers
+    canonicalize floats to fixed-scale decimal strings first (engines
+    disagree on float formatting, the one encoding rule this pattern
+    needs)."""
+    t = Tables(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("c_custkey").cast("string"),
+                    F.col("c_name"),
+                    F.col("c_mktsegment"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return t.customer.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )
