@@ -222,6 +222,34 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- snapshot diff -----------------------------------------------------------
+
+
+def diff_tables(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Generic keyed table-version diff: rows classified added / removed /
+    changed (unchanged rows dropped inside the join — output ∝ churn).
+    Attribute comparison is null-safe (`eqNullSafe`), so NULL→value and
+    value→NULL edits are changes, not misses; see the pytest in
+    tests/test_operators.py for the four-quadrant behavior."""
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    return joined.filter(
+        F.col(f"o.{key}").isNull() | F.col(f"n.{key}").isNull() | changed
+    ).select(
+        F.when(F.col(f"o.{key}").isNull(), "added")
+        .when(F.col(f"n.{key}").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        *[F.col(f"o.{c}").alias(f"old_{c}") for c in compare_cols],
+        *[F.col(f"n.{c}").alias(f"new_{c}") for c in compare_cols],
+    )
+
+
 # Synthetic "new snapshot" of customer, derived deterministically so the
 # diff exercises all three change classes: every 5th key changes segment,
 # every 11th key is deleted, and every 13th key re-appears under a
@@ -292,20 +320,10 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    o, n = old.alias("o"), new.alias("n")
-    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
-    return joined.filter(
-        F.col("o.c_custkey").isNull()
-        | F.col("n.c_custkey").isNull()
-        | ~F.col("o.c_mktsegment").eqNullSafe(F.col("n.c_mktsegment"))
-    ).select(
-        F.when(F.col("o.c_custkey").isNull(), "added")
-        .when(F.col("n.c_custkey").isNull(), "removed")
-        .otherwise("changed")
-        .alias("change_type"),
-        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
-        F.col("o.c_mktsegment").alias("old_segment"),
-        F.col("n.c_mktsegment").alias("new_segment"),
+    return (
+        diff_tables(old, new, "c_custkey", ["c_mktsegment"])
+        .withColumnRenamed("old_c_mktsegment", "old_segment")
+        .withColumnRenamed("new_c_mktsegment", "new_segment")
     )
 
 

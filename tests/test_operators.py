@@ -237,3 +237,25 @@ def test_basket_pairs_mega_basket_guard(spark, tmp_path):
     # the mega-basket's co-occurrence is excluded: 6, not 7
     assert r.n_orders == 6
     assert r.n_dropped_baskets == 1
+
+
+def test_diff_tables_null_safe_quadrants(spark):
+    """diff_tables must treat NULL→value and value→NULL as changes (the
+    eqNullSafe claim in its docstring), plus classify adds/removes."""
+    from data_bridge_spark.operators.warehouse import diff_tables
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d"), (5, "same")],
+        "k int, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, "c2"), (5, "same"), (6, "f")],
+        "k int, v string",
+    )
+    got = {r.k: r for r in diff_tables(old, new, "k", ["v"]).collect()}
+    assert got[1].change_type == "changed"  # value -> NULL
+    assert got[2].change_type == "changed"  # NULL -> value
+    assert got[3].change_type == "changed"
+    assert got[4].change_type == "removed" and got[4].new_v is None
+    assert got[6].change_type == "added" and got[6].old_v is None
+    assert 5 not in got  # unchanged rows never surface
