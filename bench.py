@@ -60,6 +60,9 @@ HEADLINE = (
     "tpch_q11_important_stock",
     "tpch_q16_supplier_cnt",
     "tpch_q20_promotion_supplier",
+    "text_decontaminate_bloom",
+    "snapshot_diff",
+    "table_checksum",
 )
 
 

@@ -124,36 +124,40 @@ def kmeans_centroids(
     double divide; empty cells keep their previous centroid; nearest-cell
     ties resolve to the lowest cell index.
     """
-    seed_rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy(_seed_hash(F.col("vec_id")), F.col("vec_id"))
-        .limit(k)
-        .collect()
-    )
-    centroids = [[float(x) for x in r.embedding] for r in seed_rows]
-    for _ in range(iters):
-        sums = (
-            emb.select(
-                _nearest_cell(F.col("embedding"), centroids).alias("cell"), "embedding"
-            )
-            .groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.round(F.element_at("embedding", i + 1).cast("double"), 6).cast(
-                            "decimal(12,6)"
-                        )
-                    ).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
-            .collect()
+    # the training loop re-reads its input iters+1 times — pin it for the
+    # loop's lifetime (the canonical iterative-algorithm cache; released
+    # before returning so the caller's plan doesn't hold executor memory)
+    train = emb.select("vec_id", "embedding").persist()
+    try:
+        seed_rows = (
+            train.orderBy(_seed_hash(F.col("vec_id")), F.col("vec_id")).limit(k).collect()
         )
-        centroids = list(centroids)
-        for r in sums:
-            centroids[r["cell"]] = [float(r[f"s{i}"]) / r["n"] for i in range(dim)]
-    return centroids
+        centroids = [[float(x) for x in r.embedding] for r in seed_rows]
+        for _ in range(iters):
+            sums = (
+                train.select(
+                    _nearest_cell(F.col("embedding"), centroids).alias("cell"), "embedding"
+                )
+                .groupBy("cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(
+                            F.round(
+                                F.element_at("embedding", i + 1).cast("double"), 6
+                            ).cast("decimal(12,6)")
+                        ).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            centroids = list(centroids)
+            for r in sums:
+                centroids[r["cell"]] = [float(r[f"s{i}"]) / r["n"] for i in range(dim)]
+        return centroids
+    finally:
+        train.unpersist()
 
 
 _SIG_DIMS = 6  # sign bits of the first 6 dimensions → 64 buckets
