@@ -37,3 +37,24 @@ def duck():
 def plan_string(df) -> str:
     """Executed physical plan as text (shared by plan-assertion tests)."""
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="session")
+def plan_for(spark, sf_dir):
+    """Session-memoized registry plan builder. Several operators run real
+    Spark jobs at plan-BUILD time (plan-time pivot discovery, iterative
+    k-means/graph loops with collect edges); test_oracle and the registry
+    schema scan each build every oracled plan, so without memoization the
+    suite pays those jobs twice (the ADVICE r4 heaviness note).
+    DataFrames are immutable plans — reuse is safe."""
+    from data_bridge_spark.registry import load_all
+
+    reg = load_all()
+    cache: dict[str, object] = {}
+
+    def get(name: str):
+        if name not in cache:
+            cache[name] = reg[name].fn(spark, sf_dir)
+        return cache[name]
+
+    return get

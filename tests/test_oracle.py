@@ -21,9 +21,9 @@ ROWS_ONLY = sorted(n for n, q in REG.items() if q.oracle is None)
 
 
 @pytest.mark.parametrize("name", ORACLED)
-def test_matches_duckdb_oracle(name, spark, duck, sf_dir):
+def test_matches_duckdb_oracle(name, spark, duck, sf_dir, plan_for):
     q = REG[name]
-    sdf = q.fn(spark, sf_dir)
+    sdf = plan_for(name)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     res = duck.execute(q.oracle)

@@ -75,7 +75,7 @@ def test_survey_inventory_names_present():
     assert not missing, f"SURVEY §2 names missing from registry: {missing}"
 
 
-def test_no_list_typed_output_on_oracled_queries(spark, sf_dir):
+def test_no_list_typed_output_on_oracled_queries(spark, sf_dir, plan_for):
     """The driver canonicalizes results in pandas and sorts value columns;
     Python lists/dicts are unhashable there, so an oracled query must never
     emit a raw array/map column (r3: scalar_hof + agg_collect crashed the
@@ -86,7 +86,7 @@ def test_no_list_typed_output_on_oracled_queries(spark, sf_dir):
     for name, q in load_all().items():
         if q.oracle is None:
             continue
-        df = q.fn(spark, sf_dir)
+        df = plan_for(name)
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
