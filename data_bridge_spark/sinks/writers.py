@@ -192,6 +192,93 @@ def compact_partitioned_table(
     return n
 
 
+def upsert_partitioned_table(
+    spark,
+    updates: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    key_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Partition-scoped upsert (MERGE emulation without a table format):
+    replace rows matching ``key_cols``, keep the partition's other rows,
+    insert new rows — rewriting ONLY the ``col=value/`` leaf directories
+    the updates touch. Untouched partitions' files are not read, not
+    rewritten, not even listed by the merge: upsert cost is proportional
+    to the churned partitions, not the table — the property that makes
+    daily upserts into a 100 TB lake viable.
+
+    Mechanics: the touched partition tuples come from the updates
+    (distinct-collect — bounded by churn, a declared driver edge); the
+    existing table is read with a partition-pruned filter (planning-time
+    pruning, so only touched directories are listed); kept = existing
+    anti-join updates on the key; merged = kept ∪ updates, written
+    through :func:`write_partitioned_table` into a sibling temp dir; each
+    written leaf directory is then swapped into the live table with
+    renames (atomic per partition against POSIX readers — the same
+    contract as :func:`compact_partitioned_table`; on object stores use
+    a commit-log table format instead). Returns rows written.
+
+    Caller contract: ``key_cols`` are non-null, and a key's partition
+    assignment is stable (an update that MOVES a key across partitions
+    must also ship the old partition's tombstone — classic Hive-upsert
+    caveat, surfaced here rather than silently duplicating)."""
+    from functools import reduce
+    from operator import and_, or_
+
+    from pyspark.sql import functions as F
+
+    touched = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
+    if not touched:
+        return 0
+    existing = spark.read.parquet(path)
+    if len(partition_cols) == 1:
+        prune = F.col(partition_cols[0]).isin([t[0] for t in touched])
+    else:
+        prune = reduce(
+            or_,
+            [
+                reduce(and_, [F.col(c) == v for c, v in zip(partition_cols, t)])
+                for t in touched
+            ],
+        )
+    kept = existing.filter(prune).join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*existing.columns))
+    tmp = path.rstrip("/") + "._upserting"
+    n = write_partitioned_table(
+        merged, tmp, partition_cols=partition_cols, sort_cols=sort_cols
+    )
+    # swap each written leaf dir (depth == len(partition_cols)) into place
+    depth = len(partition_cols)
+    leaves: list[str] = []
+
+    def _walk(rel: str, d: int) -> None:
+        full = os.path.join(tmp, rel) if rel else tmp
+        for entry in os.listdir(full):
+            if "=" not in entry:
+                continue  # _SUCCESS and friends
+            sub = os.path.join(rel, entry) if rel else entry
+            if d == 1:
+                leaves.append(sub)
+            else:
+                _walk(sub, d - 1)
+
+    _walk("", depth)
+    for rel in leaves:
+        src = os.path.join(tmp, rel)
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        old = dst.rstrip("/") + "._replaced"
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n
+
+
 def write_fileshare(
     df: DataFrame,
     mount_path: str,

@@ -188,3 +188,53 @@ def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == events.count()
     assert after.groupBy("o_orderkey").count().count() == before
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    """upsert_partitioned_table: updated keys replaced, partition
+    neighbors kept, new partitions created — and untouched partition
+    directories byte-stable (same files, same mtimes)."""
+    import os
+
+    from data_bridge_spark.sinks.writers import upsert_partitioned_table
+
+    path = str(tmp_path / "orders_upsert")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_partitioned_table(orders, path, partition_cols=["o_orderpriority"])
+
+    def snapshot(part):
+        d = os.path.join(path, f"o_orderpriority={part}")
+        return sorted((f, os.stat(os.path.join(d, f)).st_mtime_ns) for f in os.listdir(d))
+
+    untouched_before = snapshot("5-LOW")
+
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    some_keys = [r.o_orderkey for r in urgent.limit(5).collect()]
+    updates = (
+        urgent.filter(F.col("o_orderkey").isin(some_keys))
+        .withColumn("o_totalprice", F.lit(0.0))
+        .unionByName(
+            spark.createDataFrame(
+                [(999_000_001, "9-SYNTH", 1.5)],
+                "o_orderkey long, o_orderpriority string, o_totalprice double",
+            )
+        )
+    )
+    n = upsert_partitioned_table(
+        spark, updates, path, partition_cols=["o_orderpriority"], key_cols=["o_orderkey"]
+    )
+    after = spark.read.parquet(path)
+    # replaced keys carry the update, partition neighbors survive
+    assert after.filter(F.col("o_orderkey").isin(some_keys))
+    got = {r.o_orderkey: r.o_totalprice for r in after.filter(F.col("o_orderkey").isin(some_keys)).collect()}
+    assert got == {k: 0.0 for k in some_keys}
+    assert after.filter(F.col("o_orderpriority") == "1-URGENT").count() == urgent.count()
+    # the new partition exists with its row
+    assert after.filter(F.col("o_orderpriority") == "9-SYNTH").count() == 1
+    # total = old + inserts; n = rewritten rows (touched partitions only)
+    assert after.count() == orders.count() + 1
+    assert n == urgent.count() + 1
+    # untouched partition: identical files, identical mtimes
+    assert snapshot("5-LOW") == untouched_before
