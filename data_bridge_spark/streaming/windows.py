@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,6 +162,52 @@ def stream_to_lake(
         .option("path", path)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy(*partition_cols)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_upsert_to_lake(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_cols: list[str],
+    key_cols: list[str],
+):
+    """Streaming CDC apply: each micro-batch of changed rows is MERGED
+    into the partitioned lake table via
+    sinks.writers.upsert_partitioned_table — later versions of a key
+    replace earlier ones, per-batch cost proportional to the partitions
+    the batch touches (vs stream_to_lake's append-only landing). The
+    classic change-stream→serving-table bridge where updates exist.
+
+    foreachBatch + checkpoint gives exactly-once APPLICATION of each
+    micro-batch: after a restart, a replayed batch re-upserts the same
+    keys idempotently (upsert is deterministic replace-by-key, so a
+    duplicate apply converges to the same table). Within a batch,
+    duplicate keys are reduced to the latest by ts before the merge —
+    upsert requires one row per key. Returns the StreamingQuery handle
+    (availableNow: drain, then stop)."""
+    from data_bridge_spark.sinks.writers import upsert_partitioned_table
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        w = W.partitionBy(*key_cols).orderBy(F.col("ts").desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upsert_partitioned_table(
+            spark, latest, path, partition_cols=partition_cols, key_cols=key_cols
+        )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(apply_batch)
         .trigger(availableNow=True)
         .start()
     )

@@ -125,3 +125,72 @@ def test_lake_sink_exactly_once_across_restart(spark, sf_dir, tmp_path):
     from tests.conftest import plan_string
 
     assert "PartitionFilters" in plan_string(one_type)
+
+
+def test_stream_upsert_applies_latest_per_key(spark, sf_dir, tmp_path):
+    """stream_upsert_to_lake: a change stream merges into the partitioned
+    serving table — updated keys replaced (latest ts wins inside a
+    batch), unmatched rows kept, second run from the same checkpoint
+    reads only the new file and stays idempotent on row count."""
+    from data_bridge_spark.streaming.windows import stream_upsert_to_lake
+    from data_bridge_spark.sinks.writers import write_partitioned_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .withColumn("ts", F.lit(0).cast("long"))
+    )
+    table = str(tmp_path / "serving")
+    write_partitioned_table(events, table, partition_cols=["event_type"])
+    base_n = events.count()
+
+    landing = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    def land(batch_df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        batch_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), os.path.join(landing, name + ".parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(landing).schema)
+            .format("parquet")
+            .load(landing)
+        )
+        q = stream_upsert_to_lake(
+            stream, table, ckpt, partition_cols=["event_type"], key_cols=["event_id"]
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    keys = [r.event_id for r in events.limit(3).collect()]
+    # batch 1: two versions of the same keys — ts=2 must win over ts=1
+    v1 = events.filter(F.col("event_id").isin(keys)).withColumn(
+        "value", F.lit(-1.0)
+    ).withColumn("ts", F.lit(1).cast("long"))
+    v2 = events.filter(F.col("event_id").isin(keys)).withColumn(
+        "value", F.lit(-2.0)
+    ).withColumn("ts", F.lit(2).cast("long"))
+    land(v1.unionByName(v2), "batch1")
+    run()
+
+    after = spark.read.parquet(table)
+    assert after.count() == base_n
+    got = {r.event_id: r.value for r in after.filter(F.col("event_id").isin(keys)).collect()}
+    assert got == {k: -2.0 for k in keys}
+
+    # batch 2 from the same checkpoint: only the new file is read
+    land(
+        events.filter(F.col("event_id").isin(keys[:1]))
+        .withColumn("value", F.lit(-3.0))
+        .withColumn("ts", F.lit(3).cast("long")),
+        "batch2",
+    )
+    run()
+    after2 = spark.read.parquet(table)
+    assert after2.count() == base_n
+    assert after2.filter(F.col("event_id") == keys[0]).collect()[0].value == -3.0
