@@ -438,6 +438,61 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_upsert",
+    # the upserted table's CONTENT is deterministic even though the
+    # operator is a file-layout round trip: the oracle computes the same
+    # merge relationally (updated keys repriced, one inserted row)
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(o_orderstatus AS VARCHAR) AS o_orderstatus
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders
+        UNION ALL
+        SELECT 9999999901, 42.0, 'Z'
+    )
+    """,
+    tags=("sink", "partitioning", "upsert"),
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE round trip: write orders Hive-partitioned
+    by status, upsert a change batch (every 13th key repriced to 0, plus
+    one brand-new row in a brand-new partition) through
+    sinks.writers.upsert_partitioned_table, read the table back. The
+    oracle replays the merge relationally — value-proving that the
+    leaf-directory swap neither lost partition neighbors, duplicated
+    replaced keys, nor dropped the new partition. The pytest twin
+    (tests/test_partitioning.py) additionally proves UNTOUCHED partition
+    files stay byte-identical, which SQL cannot see."""
+    from data_bridge_spark.sinks.writers import (
+        upsert_partitioned_table,
+        write_partitioned_table,
+    )
+    from data_bridge_spark.util import tracked_tempdir
+
+    t = Tables(spark, sf_dir)
+    base = t.orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    # atexit-tracked: the returned lazy DataFrame still reads this path
+    path = tracked_tempdir("dbs_upsert_") + "/orders_by_status"
+    write_partitioned_table(base, path, partition_cols=["o_orderstatus"])
+    updates = (
+        base.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.lit(0.0))
+        .unionByName(
+            spark.createDataFrame(
+                [(9999999901, 0.0, "Z")],
+                "o_orderkey long, o_totalprice double, o_orderstatus string",
+            ).withColumn("o_totalprice", F.lit(42.0))
+        )
+    )
+    upsert_partitioned_table(
+        spark, updates, path, partition_cols=["o_orderstatus"], key_cols=["o_orderkey"]
+    )
+    return spark.read.parquet(path)
+
+
+@register(
     "sink_csv",
     # the CSV round trip stringifies every column; the oracle applies the
     # same casts, proving the artifact preserved the joined content
