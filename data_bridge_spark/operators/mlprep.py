@@ -146,7 +146,48 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_sequences",
-    oracle=None,  # greedy packing is order-stateful → rows-only + tests
+    # greedy first-fit is order-stateful, but DETERMINISTIC (sorted
+    # doc_id order, integer token counts) — so the whole packer replays
+    # in a DuckDB recursive CTE that carries each group's bin free-list
+    # as LIST state, one rank per iteration. Same unrolling doctrine as
+    # sim_ivf's k-means oracle: pin the order, the state transition is
+    # pure, and "stateful" stops meaning "unverifiable".
+    oracle="""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id,
+               LEAST(len(string_split(text, ' ')), 512) AS n,
+               CAST(('0x' || substr(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS g,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY CAST(('0x' || substr(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+                   ORDER BY doc_id) AS INTEGER) AS rk
+        FROM documents
+    ),
+    steps(g, rk, bins, doc_id, bin_id, used) AS (
+        SELECT g, rk, [512 - n], doc_id, 0, n FROM docs WHERE rk = 1
+        UNION ALL
+        SELECT d.g, d.rk,
+               CASE WHEN fit.i IS NULL THEN list_append(s.bins, 512 - d.n)
+                    ELSE list_transform(
+                        list_zip(s.bins, generate_series(1, len(s.bins))),
+                        z -> CASE WHEN z[2] = fit.i THEN z[1] - d.n ELSE z[1] END)
+               END,
+               d.doc_id,
+               CASE WHEN fit.i IS NULL THEN len(s.bins) ELSE fit.i - 1 END,
+               d.n
+        FROM steps s
+        JOIN docs d ON d.g = s.g AND d.rk = s.rk + 1
+        CROSS JOIN LATERAL (
+            SELECT list_extract(
+                list_transform(
+                    list_filter(list_zip(s.bins, generate_series(1, len(s.bins))),
+                                z -> z[1] >= d.n),
+                    z -> z[2]), 1) AS i
+        ) fit
+    )
+    SELECT doc_id, g AS pack_group, CAST(bin_id AS INTEGER) AS bin_id,
+           CAST(used AS INTEGER) AS used_tokens
+    FROM steps
+    """,
     tags=("mlprep", "packing"),
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,15 +195,24 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins (here 512 whitespace tokens) to minimize padding waste in
     training batches. Packing is inherently sequential, so it runs
     greedy-per-group via applyInPandas: docs are hash-bucketed into
-    independent groups (deterministic), each group packs locally — the
-    standard scale-out compromise (bin quality within a group, perfect
-    parallelism across groups)."""
+    independent groups (md5-derived — cross-engine-computable, which is
+    what lets the recursive-CTE oracle replay the exact same groups),
+    each group packs locally in sorted doc_id order — the standard
+    scale-out compromise (bin quality within a group, perfect
+    parallelism across groups). First-fit state is a per-group integer
+    free-list, so the oracle can replay it exactly; the pytest
+    additionally asserts the budget invariant and packing efficiency."""
     budget = 512
     t = Tables(spark, sf_dir)
+    group = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
     docs = t.documents.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tokens"),
-        (F.xxhash64("doc_id") % 16).alias("pack_group"),
+        group.alias("pack_group"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
