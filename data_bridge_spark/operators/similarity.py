@@ -517,3 +517,88 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.array_max("e"), F.lit(0.0)).alias("max_err"),
         (F.coalesce(sq_sum, F.lit(0.0)) / F.col("dim")).alias("mse"),
     )
+
+
+def _recall_oracle() -> str:
+    """Compose the brute/LSH/IVF oracle SQLs (registered above in this
+    module) as derived tables — the evaluation harness reuses the same
+    proven replays rather than restating them."""
+    from data_bridge_spark.registry import REGISTRY
+
+    brute = REGISTRY["sim_topk"].oracle
+    lsh = REGISTRY["sim_topk_lsh"].oracle
+    ivf = REGISTRY["sim_ivf"].oracle
+    return f"""
+    WITH brute AS (
+        SELECT probe_id, cand_id FROM ({brute}) b WHERE probe_id < 10
+    ),
+    m AS (
+        SELECT 'lsh' AS method, probe_id, cand_id
+        FROM ({lsh}) l WHERE probe_id < 10
+        UNION ALL
+        SELECT 'ivf', probe_id, cand_id
+        FROM ({ivf}) i WHERE probe_id < 10
+    ),
+    hits AS (
+        SELECT m.method, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM m JOIN brute USING (probe_id, cand_id) GROUP BY 1
+    ),
+    counts AS (
+        SELECT method, CAST(COUNT(*) AS BIGINT) AS n_method FROM m GROUP BY 1
+    ),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM brute)
+    SELECT c.method, b.n_exact, c.n_method,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact AS recall
+    FROM counts c CROSS JOIN base b LEFT JOIN hits h USING (method)
+    """
+
+
+@register(
+    "sim_recall_report",
+    oracle=_recall_oracle(),
+    tags=("similarity", "evaluation"),
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation AS a pipeline query: recall of the LSH and
+    IVF variants against the brute-force exact top-k on the shared probe
+    set (vec_id < 10) — n_exact, per-method candidate count, hit count,
+    and recall, in one lazy plan. This is the harness a 100 TB corpus
+    needs to TUNE its ANN knobs (bands, nprobe) on a sample before
+    committing a full run: all three searches and the comparison ride
+    one job, and the joins are (probe, cand) equi-joins over top-k-sized
+    sets — evaluation cost is O(probes x k), independent of corpus size.
+    The oracle composes the three methods' proven SQL replays as derived
+    tables, so the report's every value — including the recall doubles
+    (integer-ratio IEEE division) — is cross-engine checked. The 1-row
+    n_exact aggregate broadcasts via the declared scalar-edge crossJoin."""
+    brute = sim_topk(spark, sf_dir).select("probe_id", "cand_id")
+    lsh = (
+        sim_topk_lsh(spark, sf_dir)
+        .filter(F.col("probe_id") < 10)
+        .select(F.lit("lsh").alias("method"), "probe_id", "cand_id")
+    )
+    ivf = (
+        sim_ivf(spark, sf_dir)
+        .filter(F.col("probe_id") < 10)
+        .select(F.lit("ivf").alias("method"), "probe_id", "cand_id")
+    )
+    m = lsh.unionByName(ivf)
+    hits = m.join(brute, ["probe_id", "cand_id"]).groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    counts = m.groupBy("method").agg(F.count(F.lit(1)).alias("n_method"))
+    base = brute.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .join(hits, "method", "left")
+        .select(
+            "method",
+            "n_exact",
+            "n_method",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_exact")).alias(
+                "recall"
+            ),
+        )
+    )

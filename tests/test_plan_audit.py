@@ -33,6 +33,7 @@ ALLOW: dict[str, str] = {
     "tpch_q22_dormant": "scalar-subquery shape: cross join vs the 1-row global average-balance aggregate (broadcast side is O(1))",
     "tpch_q11_important_stock": "HAVING-over-global-scalar shape: cross join vs the 1-row grand-total aggregate (broadcast side is O(1))",
     "basket_pairs": "audit-column edge: cross join vs the 1-row dropped-basket count (broadcast side is O(1))",
+    "sim_recall_report": "contains the brute-force baseline (sim_topk's bounded broadcast probe set) plus the 1-row n_exact scalar-edge cross join",
 }
 
 
