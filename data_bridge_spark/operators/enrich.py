@@ -71,6 +71,67 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_quality_report",
+    oracle=f"""
+    WITH {_bands_sql()},
+    {_pairs_sql()},
+    scored AS (
+        SELECT CAST(len(list_filter(
+                     list_distinct(string_split(LOWER(a.text), ' ')),
+                     w -> list_contains(list_distinct(string_split(LOWER(b.text), ' ')), w)
+                 )) AS DOUBLE)
+               / len(list_distinct(string_split(LOWER(a.text), ' ')
+                     || string_split(LOWER(b.text), ' '))) AS jaccard
+        FROM cand c
+        JOIN documents a ON a.doc_id = c.id_a
+        JOIN documents b ON b.doc_id = c.id_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS BIGINT) AS n_verified,
+           CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS DOUBLE) / COUNT(*) AS precision,
+           CAST(SUM(CAST(ROUND(jaccard, 6) AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*)
+               AS mean_jaccard
+    FROM scored
+    """,
+    tags=("dedup", "minhash", "evaluation"),
+)
+def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding quality AS a pipeline query: over the capped candidate
+    set, how many pairs survive exact-Jaccard verification (≥ 0.5), the
+    precision, and the mean candidate Jaccard — the knob-tuning twin of
+    sim_recall_report for the dedup side (more bands → higher recall,
+    lower precision; this measures the precision half on a sample before
+    a 100 TB run commits to a banding). Evaluation cost is O(candidates)
+    like the verify stage itself. Mean jaccard is quantized to
+    DECIMAL(12,6) and exact-summed (order-insensitive) — per-pair values
+    are integer-ratio doubles both engines compute bit-identically."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("words")
+    )
+    pairs = lsh_candidate_pairs(t.documents)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("words").alias("words_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("words").alias("words_b"))
+    inter = F.size(F.array_intersect(F.col("words_a"), F.col("words_b")))
+    union = F.size(F.array_union(F.col("words_a"), F.col("words_b")))
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select((inter.cast("double") / union).alias("jaccard"))
+    )
+    n = F.count(F.lit(1))
+    nv = F.count_if(F.col("jaccard") >= 0.5)
+    return scored.agg(
+        n.alias("n_candidates"),
+        nv.alias("n_verified"),
+        (nv.cast("double") / n).alias("precision"),
+        (
+            F.sum(F.round(F.col("jaccard"), 6).cast("decimal(12,6)")).cast("double") / n
+        ).alias("mean_jaccard"),
+    )
+
+
 _CHUNK, _STRIDE = 32, 24  # token window / step (25% overlap)
 
 
