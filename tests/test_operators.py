@@ -259,3 +259,36 @@ def test_diff_tables_null_safe_quadrants(spark):
     assert got[4].change_type == "removed" and got[4].new_v is None
     assert got[6].change_type == "added" and got[6].old_v is None
     assert 5 not in got  # unchanged rows never surface
+
+
+def test_diff_tables_reconstructs_new_snapshot(spark, sf_dir):
+    """Losslessness invariant: applying the diff to the old snapshot must
+    reproduce the new snapshot exactly (keys: removed dropped, changed
+    replaced, added inserted, untouched carried)."""
+    from data_bridge_spark.operators.warehouse import diff_tables
+
+    old = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("v")
+    )
+    new = (
+        old.filter(F.col("k") % 3 != 0)
+        .withColumn(
+            "v", F.when(F.col("k") % 4 == 0, F.concat(F.lit("X_"), F.col("v"))).otherwise(F.col("v"))
+        )
+        .unionByName(
+            spark.createDataFrame([(10_000_001, None)], "k long, v string")
+        )
+    )
+    d = diff_tables(old, new, "k", ["v"])
+    removed = d.filter(F.col("change_type") == "removed").select("k")
+    upserts = d.filter(F.col("change_type") != "removed").select(
+        "k", F.col("new_v").alias("v")
+    )
+    rebuilt = (
+        old.join(d.select("k"), "k", "left_anti")  # untouched keys
+        .unionByName(upserts)
+    )
+    assert rebuilt.count() == new.count()
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
+    assert removed.count() == old.filter(F.col("k") % 3 == 0).count()
