@@ -158,3 +158,40 @@ def test_bloom_decontaminate_probes_are_broadcast(spark, sf_dir):
     the exact join; no sort-merge anywhere on the corpus path."""
     plan = plan_of(REG["text_decontaminate_bloom"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """SCALE.md's fact-join row claims AQE skew-split handles hot keys —
+    the receipt: a 90%-one-key join must execute with
+    SortMergeJoin(skew=true), the hot partition split by AQEShuffleRead.
+    (The portable explicit form is join_skew_salted, oracle-proven.)"""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.lit("x").alias("payload"),
+        )
+        right = spark.range(100_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("r"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 460_000  # executes THIS plan (AQE finalizes it)
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
