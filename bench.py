@@ -96,6 +96,7 @@ def _prev_round_timings() -> tuple[str, dict[str, float]] | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    loadavg_at_start = round(os.getloadavg()[0], 2)
     registry = load_all()
     spark = get_spark("bench")
 
@@ -158,6 +159,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host fingerprint for cross-round drift forensics: identical
+        # plans measured on different VM placements can differ 1.3-1.7x
+        # (see SCALE.md "Bench environment note"); loadavg is sampled
+        # BEFORE the bench's own work inflates it
+        "host": {"cpus": os.cpu_count(), "loadavg_1m_at_start": loadavg_at_start},
     }
     prev = _prev_round_timings()
     if prev is not None:
