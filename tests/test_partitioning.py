@@ -238,3 +238,50 @@ def test_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
     assert n == urgent.count() + 1
     # untouched partition: identical files, identical mtimes
     assert snapshot("5-LOW") == untouched_before
+
+
+def test_upsert_multilevel_partitions_swap_leaf_only(spark, sf_dir, tmp_path):
+    """Two-level layout (priority/status): an upsert touching one
+    (priority, status) leaf must leave the SIBLING status directory under
+    the same priority byte-identical — the leaf-walk must swap at depth 2,
+    not replace the whole priority dir."""
+    import os
+
+    from data_bridge_spark.sinks.writers import upsert_partitioned_table
+
+    path = str(tmp_path / "orders_two_level")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    write_partitioned_table(
+        orders, path, partition_cols=["o_orderpriority", "o_orderstatus"]
+    )
+
+    def snapshot(prio, status):
+        d = os.path.join(path, f"o_orderpriority={prio}", f"o_orderstatus={status}")
+        return sorted((f, os.stat(os.path.join(d, f)).st_mtime_ns) for f in os.listdir(d))
+
+    target = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    sibling_before = snapshot("1-URGENT", "O")
+    other_prio_before = snapshot("5-LOW", "F")
+
+    keys = [r.o_orderkey for r in target.limit(3).collect()]
+    updates = target.filter(F.col("o_orderkey").isin(keys)).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    upsert_partitioned_table(
+        spark,
+        updates,
+        path,
+        partition_cols=["o_orderpriority", "o_orderstatus"],
+        key_cols=["o_orderkey"],
+    )
+    after = spark.read.parquet(path)
+    assert after.count() == orders.count()
+    got = {r.o_orderkey: r.o_totalprice for r in after.filter(F.col("o_orderkey").isin(keys)).collect()}
+    assert got == {k: -1.0 for k in keys}
+    # sibling leaf under the SAME priority and a different priority: untouched
+    assert snapshot("1-URGENT", "O") == sibling_before
+    assert snapshot("5-LOW", "F") == other_prio_before
