@@ -292,3 +292,40 @@ def test_diff_tables_reconstructs_new_snapshot(spark, sf_dir):
     assert rebuilt.exceptAll(new).count() == 0
     assert new.exceptAll(rebuilt).count() == 0
     assert removed.count() == old.filter(F.col("k") % 3 == 0).count()
+
+
+def test_table_checksum_detects_single_cell_change(spark, sf_dir):
+    """The docstring claims one flipped byte changes the checksum while
+    row order never does — prove both directions."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+    def checksum(df):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("c_custkey").cast("string"), F.col("c_name"), F.col("c_mktsegment")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.agg(F.sum(h.cast("decimal(38,0)")).cast("string")).collect()[0][0]
+
+    clean = checksum(base)
+    # row order / partitioning insensitive
+    assert checksum(base.repartition(7).sortWithinPartitions(F.desc("c_name"))) == clean
+    # one changed cell flips it
+    k = base.limit(1).collect()[0].c_custkey
+    tampered = base.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") == k, F.lit("TAMPERED")).otherwise(F.col("c_mktsegment")),
+    )
+    assert checksum(tampered) != clean
