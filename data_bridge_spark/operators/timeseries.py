@@ -361,3 +361,74 @@ def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
     )
+
+
+@register(
+    "ts_holt",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               list_reduce(
+                 [[CAST(first(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS DOUBLE),
+                   CAST(0.0 AS DOUBLE)]]
+                   || list_transform(list(CAST(value AS DOUBLE) ORDER BY ts, event_id)[2:],
+                                     x -> [x, CAST(0.0 AS DOUBLE)]),
+                 (acc, x) -> [
+                   x[1]*0.25 + (acc[1]+acc[2])*0.75,
+                   (x[1]*0.25 + (acc[1]+acc[2])*0.75 - acc[1])*0.25 + acc[2]*0.75
+                 ]) AS st
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, st[1] AS level, st[2] AS trend,
+           st[1] + 3*st[2] AS forecast_3
+    FROM s
+    """,
+    tags=("timeseries", "forecast", "sequential"),
+)
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per user (alpha = beta = 0.25)
+    with a 3-step-ahead linear forecast — the demand-forecasting
+    recurrence, extending the ts_ewma sequential-fold pattern to VECTOR
+    state: the accumulator is a (level, trend) struct in Spark and a
+    2-element double list in DuckDB's `list_reduce`, folded over the
+    totally-ordered (ts, event_id) series with the identical IEEE
+    arithmetic DAG on both engines — the level subexpression is
+    deliberately written out twice in the trend slot on BOTH sides so
+    every operation pairs up bit-for-bit. alpha = beta = 1/4 keeps the
+    smoothing weights exactly representable. One shuffle on user_id;
+    per-key arrays are bounded by key cardinality, and the streaming
+    form of the same recurrence is the applyInPandasWithState
+    accumulator pattern (streaming/stateful.py)."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    )
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "v"))),
+        lambda s: s["v"],
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), vals.alias("vals"))
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                """aggregate(
+                  slice(vals, 2, size(vals) - 1),
+                  struct(CAST(element_at(vals, 1) AS DOUBLE) AS l,
+                         CAST(0.0 AS DOUBLE) AS b),
+                  (acc, x) -> struct(
+                    x * 0.25D + (acc.l + acc.b) * 0.75D AS l,
+                    (x * 0.25D + (acc.l + acc.b) * 0.75D - acc.l) * 0.25D
+                        + acc.b * 0.75D AS b))"""
+            ).alias("st"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("st.l").alias("level"),
+            F.col("st.b").alias("trend"),
+            (F.col("st.l") + 3 * F.col("st.b")).alias("forecast_3"),
+        )
+    )
