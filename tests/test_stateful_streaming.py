@@ -72,3 +72,60 @@ def test_state_accumulates_across_batches(spark, sf_dir, two_batch_source):
     # at least one user must have been emitted twice (state carried over)
     multi = emitted.groupBy("user_id").count().filter(F.col("count") >= 2).count()
     assert multi > 0
+
+
+def test_stream_holt_state_equals_batch_fold_exactly(spark, sf_dir, tmp_path):
+    """stream_holt across two TIME-ORDERED micro-batches must end with
+    per-user (level, trend) EXACTLY equal (==, no tolerance) to the
+    batch ts_holt fold over the same events — the stream==batch
+    bit-equality contract of the sequential-fold family."""
+    from data_bridge_spark.registry import load_all
+    from data_bridge_spark.streaming.stateful import stream_holt
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_sorted = [r.ts for r in events.select("ts").orderBy("ts").collect()]
+    cutoff = ts_sorted[len(ts_sorted) // 2]
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+
+    def land(df, name):
+        stage = str(tmp_path / ("s_" + name))
+        df.coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(flat, name + ".parquet"))
+
+    land(events.filter(F.col("ts") <= cutoff), "batch0")
+    land(events.filter(F.col("ts") > cutoff), "batch1")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    emitted = []
+
+    def sink(batch_df, epoch_id):
+        emitted.append((epoch_id, batch_df.collect()))
+
+    q = (
+        stream_holt(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(emitted) == 2  # two genuine micro-batches
+    final = {}
+    for _, rows in emitted:
+        for r in rows:
+            final[r.user_id] = (r.n_events, r.level, r.trend)
+
+    batch = {
+        r.user_id: (r.n_events, r.level, r.trend)
+        for r in load_all()["ts_holt"].fn(spark, sf_dir).collect()
+    }
+    assert final == batch  # exact float equality, not approx
