@@ -285,3 +285,28 @@ def test_upsert_multilevel_partitions_swap_leaf_only(spark, sf_dir, tmp_path):
     # sibling leaf under the SAME priority and a different priority: untouched
     assert snapshot("1-URGENT", "O") == sibling_before
     assert snapshot("5-LOW", "F") == other_prio_before
+
+
+def test_upsert_cross_partition_move_is_the_documented_caveat(spark, sf_dir, tmp_path):
+    """The docstring says a key moving partitions without a tombstone
+    duplicates (classic Hive-upsert caveat) — pin that contract so a
+    future 'fix' that silently changes semantics trips a test."""
+    from data_bridge_spark.sinks.writers import upsert_partitioned_table
+
+    path = str(tmp_path / "orders_move")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_partitioned_table(orders, path, partition_cols=["o_orderpriority"])
+    victim = orders.filter(F.col("o_orderpriority") == "1-URGENT").limit(1).collect()[0]
+    moved = spark.createDataFrame(
+        [(victim.o_orderkey, "5-LOW", -9.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    upsert_partitioned_table(
+        spark, moved, path, partition_cols=["o_orderpriority"], key_cols=["o_orderkey"]
+    )
+    after = spark.read.parquet(path).filter(F.col("o_orderkey") == victim.o_orderkey)
+    # both the old row (untouched partition) and the moved row exist
+    assert after.count() == 2
+    assert set(r.o_orderpriority for r in after.collect()) == {"1-URGENT", "5-LOW"}
