@@ -432,3 +432,113 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("st.l") + 3 * F.col("st.b")).alias("forecast_3"),
         )
     )
+
+
+def _hw_sql_exprs() -> tuple[str, str]:
+    """Build the Spark and DuckDB Holt-Winters step expressions from one
+    template so the two arithmetic DAGs cannot drift apart. The level
+    subexpression is textually inlined into the trend and seasonal slots
+    on BOTH sides — recomputing the identical IEEE ops, never a
+    different ordering."""
+    # Spark accessors (1-based element_at; x = [v, dow])
+    sv, sdow = "element_at(x, 1)", "CAST(element_at(x, 2) AS INT)"
+    sl, sb = "element_at(acc, 1)", "element_at(acc, 2)"
+    ssea = f"element_at(acc, {sdow} + 3)"
+    s_L = f"(({sv} - {ssea}) * 0.25D + ({sl} + {sb}) * 0.75D)"
+    s_B = f"(({s_L} - {sl}) * 0.25D + {sb} * 0.75D)"
+    s_S = f"(({sv} - {s_L}) * 0.25D + {ssea} * 0.75D)"
+    spark_step = (
+        f"concat(array({s_L}, {s_B}), "
+        f"transform(slice(acc, 3, 7), (v, i) -> "
+        f"CASE WHEN i = {sdow} THEN {s_S} ELSE v END))"
+    )
+    # DuckDB accessors (1-based list indexing)
+    dv, ddow = "x[1]", "CAST(x[2] AS BIGINT)"
+    dl, db = "acc[1]", "acc[2]"
+    dsea = f"acc[{ddow} + 3]"
+    d_L = f"(({dv} - {dsea}) * 0.25 + ({dl} + {db}) * 0.75)"
+    d_B = f"(({d_L} - {dl}) * 0.25 + {db} * 0.75)"
+    d_S = f"(({dv} - {d_L}) * 0.25 + {dsea} * 0.75)"
+    duck_step = (
+        f"[{d_L}, {d_B}] || "
+        f"list_transform(list_zip(acc[3:9], generate_series(0, 6)), z -> "
+        f"CASE WHEN z[2] = {ddow} THEN {d_S} ELSE z[1] END)"
+    )
+    return spark_step, duck_step
+
+
+_HW_SPARK_STEP, _HW_DUCK_STEP = _hw_sql_exprs()
+
+
+@register(
+    "ts_holt_winters",
+    oracle=f"""
+    WITH xs AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               list([CAST(value AS DOUBLE),
+                     CAST((CAST(date_part('epoch', date_trunc('day', ts)) AS BIGINT)
+                           // 86400) % 7 AS DOUBLE)]
+                    ORDER BY ts, event_id) AS v
+        FROM events GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, n_events,
+               list_reduce(
+                 [[v[1][1], CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]]
+                   || v[2:],
+                 (acc, x) -> {_HW_DUCK_STEP}) AS st
+        FROM xs
+    )
+    SELECT user_id, n_events, st[1] AS level, st[2] AS trend,
+           st[3] AS s0, st[4] AS s1, st[5] AS s2, st[6] AS s3,
+           st[7] AS s4, st[8] AS s5, st[9] AS s6
+    FROM folded
+    """,
+    tags=("timeseries", "forecast", "seasonal", "sequential"),
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters per user (alpha = beta = gamma = 1/4) with
+    DAY-OF-WEEK seasonality: level, trend, and the 7 seasonal factors
+    after folding the user's series in (ts, event_id) order — the
+    sequential-fold pattern at its most stateful (9-slot vector state).
+    Both engines fold a flat 9-double list; the day index is computed as
+    days-since-epoch mod 7 on both sides (engine dayofweek() conventions
+    disagree, epoch arithmetic cannot), and the seasonal slot updates
+    in place via an index-matched transform. `_hw_sql_exprs` generates
+    the Spark and DuckDB step expressions from one template so the IEEE
+    DAGs stay textually aligned. One shuffle on user_id; the streaming
+    form is the `stream_holt` state-store pattern with 7 more slots."""
+    t = Tables(spark, sf_dir)
+    dow = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7
+    ).cast("double")
+    ev = t.events.select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v"), dow.alias("dow")
+    )
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "v", "dow"))),
+        lambda s: F.array(s["v"], s["dow"]),
+    )
+    folded = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), xs.alias("xs"))
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                f"""aggregate(
+                  slice(xs, 2, size(xs) - 1),
+                  concat(array(CAST(element_at(element_at(xs, 1), 1) AS DOUBLE),
+                               CAST(0.0 AS DOUBLE)),
+                         array_repeat(CAST(0.0 AS DOUBLE), 7)),
+                  (acc, x) -> {_HW_SPARK_STEP})"""
+            ).alias("st"),
+        )
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.element_at("st", 1).alias("level"),
+        F.element_at("st", 2).alias("trend"),
+        *[F.element_at("st", i + 3).alias(f"s{i}") for i in range(7)],
+    )
