@@ -542,3 +542,88 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("st", 2).alias("trend"),
         *[F.element_at("st", i + 3).alias(f"s{i}") for i in range(7)],
     )
+
+
+@register(
+    "ts_backtest",
+    oracle="""
+    WITH xs AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS v
+        FROM events GROUP BY user_id
+        HAVING COUNT(*) >= 4
+    ),
+    folded AS (
+        SELECT user_id, n_events, v,
+               list_reduce(
+                 [[v[1], CAST(0.0 AS DOUBLE)]]
+                   || list_transform(v[2:len(v) - 3], x -> [x, CAST(0.0 AS DOUBLE)]),
+                 (acc, x) -> [
+                   x[1]*0.25 + (acc[1]+acc[2])*0.75,
+                   (x[1]*0.25 + (acc[1]+acc[2])*0.75 - acc[1])*0.25 + acc[2]*0.75
+                 ]) AS st
+        FROM xs
+    )
+    SELECT user_id, n_events,
+           st[1] + st[2] AS forecast_1,
+           st[1] + 2*st[2] AS forecast_2,
+           st[1] + 3*st[2] AS forecast_3,
+           (abs(st[1] + st[2] - v[len(v) - 2])
+            + abs(st[1] + 2*st[2] - v[len(v) - 1])
+            + abs(st[1] + 3*st[2] - v[len(v)])) / 3.0 AS mae
+    FROM folded
+    """,
+    tags=("timeseries", "forecast", "evaluation", "sequential"),
+)
+def ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward forecast backtest: per user, fold the Holt recursion
+    over the series MINUS its last 3 events, forecast 1/2/3 steps ahead
+    from the held-out point, and score mean absolute error against the
+    actual tail — the evaluation loop any production forecaster runs
+    before trusting a model at scale, as one oracled plan (the
+    evaluation-harness family: sim_recall_report, dedup_quality_report,
+    this). Same determinism doctrine as ts_holt: totally-ordered fold,
+    identical IEEE DAG both engines, |error| sums in fixed index order.
+    One shuffle on user_id; per-key arrays bounded by key cardinality."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    )
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "v"))),
+        lambda s: s["v"],
+    )
+    folded = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), vals.alias("vals"))
+        .filter(F.col("n_events") >= 4)
+        .select(
+            "user_id",
+            "n_events",
+            "vals",
+            F.expr(
+                """aggregate(
+                  slice(vals, 2, size(vals) - 4),
+                  struct(CAST(element_at(vals, 1) AS DOUBLE) AS l,
+                         CAST(0.0 AS DOUBLE) AS b),
+                  (acc, x) -> struct(
+                    x * 0.25D + (acc.l + acc.b) * 0.75D AS l,
+                    (x * 0.25D + (acc.l + acc.b) * 0.75D - acc.l) * 0.25D
+                        + acc.b * 0.75D AS b))"""
+            ).alias("st"),
+        )
+    )
+    n = F.size("vals")
+    l, b = F.col("st.l"), F.col("st.b")
+    f1, f2, f3 = l + b, l + 2 * b, l + 3 * b
+    a1 = F.element_at("vals", n - 2)
+    a2 = F.element_at("vals", n - 1)
+    a3 = F.element_at("vals", n)
+    return folded.select(
+        "user_id",
+        "n_events",
+        f1.alias("forecast_1"),
+        f2.alias("forecast_2"),
+        f3.alias("forecast_3"),
+        ((F.abs(f1 - a1) + F.abs(f2 - a2) + F.abs(f3 - a3)) / 3.0).alias("mae"),
+    )
