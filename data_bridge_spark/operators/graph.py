@@ -192,3 +192,81 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
     return corners.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+_BFS_HOPS = 4
+_BFS_SEED_MAX = 10  # doc_id < 10 plays the seed set
+
+
+def _bfs_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT doc_id, MIN(dist) AS dist FROM (
+            SELECT doc_id, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS doc_id, p.dist + 1 AS dist
+            FROM edges e JOIN {prev} p ON p.doc_id = e.src
+        ) GROUP BY doc_id
+    )
+    """
+
+
+_BFS_SQL = (
+    "WITH "
+    + _edges_sql()
+    + f""",
+    d0 AS (
+        SELECT doc_id, CAST(0 AS BIGINT) AS dist FROM documents
+        WHERE doc_id < {_BFS_SEED_MAX}
+    ),
+    """
+    + ",".join(_bfs_iter_sql(f"d{i}", f"d{i + 1}") for i in range(_BFS_HOPS))
+    + f"""
+    SELECT doc_id, CAST(dist AS INTEGER) AS dist FROM d{_BFS_HOPS}
+    """
+)
+
+
+@register(
+    "graph_shortest_paths",
+    oracle=_BFS_SQL,
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the near-dup candidate graph:
+    every document within _BFS_HOPS hops of the seed set (doc_id < 10)
+    with its minimum hop count — the distance-propagation member of the
+    iterative-graph family (CC propagates labels, PageRank propagates
+    rank, this propagates distance; together the three Pregel verbs).
+    Contamination-radius / influence-neighborhood queries take exactly
+    this shape at 100 TB.
+
+    Each round is one hash-join frontier expansion + a MIN re-aggregate
+    — both partitioned on doc_id, lineage cut per round like the CC
+    loop. Distances are integers, so cross-engine determinism is free
+    (no fixed-point needed); the oracle unrolls the same K relaxations
+    as chained CTEs over the same star-capped edge set. Unreached nodes
+    are absent from the output (result size = reached neighborhood, not
+    corpus)."""
+    t = Tables(spark, sf_dir)
+    pairs = lsh_candidate_pairs(t.documents).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    dist = t.documents.filter(F.col("doc_id") < _BFS_SEED_MAX).select(
+        "doc_id", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(_BFS_HOPS):
+        expanded = (
+            edges.join(dist, edges.src == dist.doc_id)
+            .select(F.col("dst").alias("doc_id"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("doc_id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select("doc_id", F.col("dist").cast("int").alias("dist"))
