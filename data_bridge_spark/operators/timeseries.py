@@ -627,3 +627,67 @@ def ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f3.alias("forecast_3"),
         ((F.abs(f1 - a1) + F.abs(f2 - a2) + F.abs(f3 - a3)) / 3.0).alias("mae"),
     )
+
+
+@register(
+    "rollup_cascade",
+    oracle="""
+    SELECT (CAST(date_part('epoch', date_trunc('day', ts)) AS BIGINT) // 86400) // 7
+               AS week_idx,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "rollup", "incremental"),
+)
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup (continuous-aggregate pattern):
+    hourly buckets aggregate the raw events ONCE, daily re-aggregates
+    the HOURLY partials, weekly re-aggregates the DAILY partials — the
+    multi-resolution hierarchy a 100 TB metrics store maintains so a
+    month-grain dashboard never rescans event-grain data. The oracle
+    computes week-grain directly from raw, so a green row proves the
+    whole cascade is lossless: counts and exact-decimal sums re-
+    aggregate along the time hierarchy bit-for-bit (the agg_incremental
+    monoid property, applied twice). Week boundaries are epoch-days DIV
+    7 — engine week-convention-free. Each level is one map-side-
+    combinable shuffle over the previous level's (already tiny) output."""
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    daily = (
+        hourly.select(
+            F.date_trunc("day", F.col("hour")).alias("day"), "event_type", "n", "s"
+        )
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .withColumn(
+            "d_epoch",
+            F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date")).cast("bigint"),
+        )
+    )
+    weekly = (
+        daily.select(
+            # (d - pmod(d, 7)) div 7: exact integer floor, correct even for
+            # pre-epoch days (catalog.py's documented floor idiom) — DuckDB's
+            # // floors natively
+            F.expr(
+                "CAST((d_epoch - pmod(d_epoch, 7)) div 7 AS BIGINT)"
+            ).alias("week_idx"),
+            "event_type",
+            "n",
+            "s",
+        )
+        .groupBy("week_idx", "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("s").cast("double").alias("total_value"))
+    )
+    return weekly
