@@ -691,3 +691,65 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_events"), F.sum("s").cast("double").alias("total_value"))
     )
     return weekly
+
+
+@register(
+    "ts_ohlc",
+    oracle="""
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (list(CAST(value AS DOUBLE) ORDER BY ts, event_id))[1] AS open,
+           MAX(CAST(value AS DOUBLE)) AS high,
+           MIN(CAST(value AS DOUBLE)) AS low,
+           (list(CAST(value AS DOUBLE) ORDER BY ts, event_id))[-1] AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "downsample", "ohlc"),
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-bucket downsampling: per (user, day) the open (first
+    value in total (ts, event_id) order), high, low, close (last value),
+    event count, and exact-decimal volume — the candlestick/metrics
+    compaction that turns an event-grain series into a chartable or
+    coarse-model-ready one at 1/N the rows. Open/close use the proven
+    totally-ordered-array idiom (collect → sort by the unique (ts,
+    event_id) key → ends); high/low/volume are plain order-insensitive
+    aggregates (MAX/MIN exact on doubles, SUM on exact decimals). One
+    map-side-combinable shuffle on (user, day); per-bucket arrays are
+    bounded by bucket cardinality. Pairs with rollup_cascade: OHLC
+    buckets re-aggregate along the hierarchy too (open of the first
+    child bucket, close of the last)."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id",
+        F.to_date(F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+    )
+    sorted_vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "v"))),
+        lambda s: s["v"],
+    )
+    return (
+        ev.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sorted_vals.alias("vals"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("volume"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            F.element_at("vals", 1).alias("open"),
+            "high",
+            "low",
+            F.element_at("vals", -1).alias("close"),
+            "volume",
+        )
+    )
