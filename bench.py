@@ -1,7 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+Prints ONE compact JSON line as the FINAL stdout line: {"metric": ...,
+"value": total_sec, "unit": "sec", "queries": {name: sec, ...}, "sf": ...}.
+The driver tail-captures stdout, so this line must stay small enough to
+survive the capture window (r5's line, carrying vs_prev deltas + host
+fingerprint, outgrew it and the official record came back "parsed": null).
+The full payload — per-query timings, vs_prev deltas, host fingerprint —
+is written to BENCH_DETAIL.json in the repo root and committed.
 
 Each query runs against the noop sink (`format("noop")`) so the full plan
 executes — count() alone would let Catalyst prune projections and
@@ -73,24 +78,32 @@ def _prev_round_timings() -> tuple[str, dict[str, float]] | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, str] | None = None
+    rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
-            n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, path)
-    if best is None:
-        return None
-    try:
-        with open(best[1]) as f:
-            data = json.load(f)
-        # the driver records {"parsed": <our JSON line>, ...}; accept both
-        if "queries" not in data and isinstance(data.get("parsed"), dict):
-            data = data["parsed"]
-        return os.path.basename(best[1]), dict(data.get("queries", {}))
-    except (OSError, json.JSONDecodeError):
-        return None
+            rounds.append((int(m.group(1)), path))
+    # newest parseable round wins: a round whose driver record came back
+    # "parsed": null (r5) carries no per-query map, so fall through to the
+    # next-newest that does
+    for _, path in sorted(rounds, reverse=True):
+        # a round whose official record is unparseable may have a committed
+        # hand-reconstruction (r5: BENCH_r05_RECONSTRUCTED.json, rebuilt from
+        # the captured tail + r4-delta map)
+        recon = path.replace(".json", "_RECONSTRUCTED.json")
+        for candidate in (path, recon):
+            try:
+                with open(candidate) as f:
+                    data = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            # the driver records {"parsed": <our JSON line>, ...}; accept both
+            if "queries" not in data and isinstance(data.get("parsed"), dict):
+                data = data["parsed"] or {}
+            queries = data.get("queries")
+            if queries:
+                return os.path.basename(candidate), dict(queries)
+    return None
 
 
 def main() -> None:
@@ -153,27 +166,37 @@ def main() -> None:
     _drop_dead_blocks()
 
     total = round(sum(timings.values()), 3)
+    # compact line: exactly what the driver spec asks for, nothing more —
+    # r5's line grew past the driver's tail-capture window and the official
+    # record came back "parsed": null.  Forensics payload goes to
+    # BENCH_DETAIL.json (committed) instead.
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # host fingerprint for cross-round drift forensics: identical
-        # plans measured on different VM placements can differ 1.3-1.7x
-        # (see SCALE.md "Bench environment note"); loadavg is sampled
-        # BEFORE the bench's own work inflates it
-        "host": {"cpus": os.cpu_count(), "loadavg_1m_at_start": loadavg_at_start},
     }
+    detail = dict(out)
+    # host fingerprint for cross-round drift forensics: identical plans
+    # measured on different VM placements can differ 1.3-1.7x (see SCALE.md
+    # "Bench environment note"); loadavg is sampled BEFORE the bench's own
+    # work inflates it
+    detail["host"] = {"cpus": os.cpu_count(), "loadavg_1m_at_start": loadavg_at_start}
     prev = _prev_round_timings()
     if prev is not None:
         prev_file, prev_q = prev
-        out["vs_prev"] = {
+        detail["vs_prev"] = {
             "file": prev_file,
             "delta_sec": {
                 n: round(timings[n] - prev_q[n], 3) for n in timings if n in prev_q
             },
         }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    # the compact line MUST be the final stdout line (driver tail-capture)
     print(json.dumps(out))
 
 
