@@ -89,9 +89,10 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
            CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS BIGINT) AS n_verified,
-           CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS DOUBLE) / COUNT(*) AS precision,
-           CAST(SUM(CAST(ROUND(jaccard, 6) AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*)
-               AS mean_jaccard
+           CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS DOUBLE)
+               / NULLIF(COUNT(*), 0) AS precision,
+           CAST(SUM(CAST(ROUND(jaccard, 6) AS DECIMAL(12,6))) AS DOUBLE)
+               / NULLIF(COUNT(*), 0) AS mean_jaccard
     FROM scored
     """,
     tags=("dedup", "minhash", "evaluation"),
@@ -121,13 +122,20 @@ def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((inter.cast("double") / union).alias("jaccard"))
     )
     n = F.count(F.lit(1))
+    # NULLIF on the denominator: an empty candidate set (possible under a
+    # different banding/data) must yield NULL on BOTH engines — Spark's
+    # x/0 is NULL but DuckDB's double division gives NaN/Inf, so without
+    # the guard the oracle comparison would diverge on this edge instead
+    # of agreeing by construction (same guard in sim_recall_report)
+    nz = F.nullif(n, F.lit(0))
     nv = F.count_if(F.col("jaccard") >= 0.5)
     return scored.agg(
         n.alias("n_candidates"),
         nv.alias("n_verified"),
-        (nv.cast("double") / n).alias("precision"),
+        (nv.cast("double") / nz).alias("precision"),
         (
-            F.sum(F.round(F.col("jaccard"), 6).cast("decimal(12,6)")).cast("double") / n
+            F.sum(F.round(F.col("jaccard"), 6).cast("decimal(12,6)")).cast("double")
+            / nz
         ).alias("mean_jaccard"),
     )
 

@@ -549,7 +549,7 @@ def _recall_oracle() -> str:
     base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM brute)
     SELECT c.method, b.n_exact, c.n_method,
            COALESCE(h.n_hit, 0) AS n_hit,
-           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact AS recall
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / NULLIF(b.n_exact, 0) AS recall
     FROM counts c CROSS JOIN base b LEFT JOIN hits h USING (method)
     """
 
@@ -597,7 +597,13 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_method",
             F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-            (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_exact")).alias(
+            # NULLIF guard: empty ground truth must be NULL on both engines
+            # (Spark x/0 -> NULL, DuckDB double x/0 -> Inf), same rule as
+            # dedup_quality_report
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n_exact"), F.lit(0))
+            ).alias(
                 "recall"
             ),
         )

@@ -167,8 +167,10 @@ def compact_partitioned_table(
     — readers see either the old table or the new one, never a partial
     rewrite. Returns rows rewritten.
 
-    Concurrency note: the swap is atomic against READERS on a POSIX
-    filesystem (rename); a concurrent WRITER to the old path is lost —
+    Concurrency note: the swap is near-atomic against READERS on a POSIX
+    filesystem — it is two renames (live → ._replaced, then tmp → live),
+    so a reader listing in the brief window between them sees the path
+    absent; a concurrent WRITER to the old path is lost —
     at cluster scale pause ingestion or use a table format with commit
     logs (the streaming lake sink's ``_spark_metadata`` already gives
     single-writer atomicity)."""
@@ -215,9 +217,11 @@ def upsert_partitioned_table(
     anti-join updates on the key; merged = kept ∪ updates, written
     through :func:`write_partitioned_table` into a sibling temp dir; each
     written leaf directory is then swapped into the live table with
-    renames (atomic per partition against POSIX readers — the same
-    contract as :func:`compact_partitioned_table`; on object stores use
-    a commit-log table format instead). Returns rows written.
+    renames (near-atomic per partition: the swap is two renames, so a
+    concurrent POSIX reader listing in the brief window between them can
+    see the leaf absent — the same contract as
+    :func:`compact_partitioned_table`; on object stores use a commit-log
+    table format instead). Returns rows written.
 
     Caller contract: ``key_cols`` are non-null, and a key's partition
     assignment is stable (an update that MOVES a key across partitions
@@ -245,7 +249,15 @@ def upsert_partitioned_table(
     kept = existing.filter(prune).join(
         updates.select(*key_cols).distinct(), key_cols, "left_anti"
     )
-    merged = kept.unionByName(updates.select(*existing.columns))
+    # align update columns to the existing table's physical types: without
+    # the cast, a wider update type (double vs decimal) makes unionByName
+    # coerce, and touched partitions would be rewritten with a different
+    # parquet type than untouched ones — a later whole-table read then
+    # fails on the mixed schema
+    aligned = updates.select(
+        *[F.col(c).cast(existing.schema[c].dataType).alias(c) for c in existing.columns]
+    )
+    merged = kept.unionByName(aligned)
     tmp = path.rstrip("/") + "._upserting"
     n = write_partitioned_table(
         merged, tmp, partition_cols=partition_cols, sort_cols=sort_cols

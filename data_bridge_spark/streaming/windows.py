@@ -186,15 +186,22 @@ def stream_upsert_to_lake(
     keys idempotently (upsert is deterministic replace-by-key, so a
     duplicate apply converges to the same table). Within a batch,
     duplicate keys are reduced to the latest by ts before the merge —
-    upsert requires one row per key. Returns the StreamingQuery handle
-    (availableNow: drain, then stop)."""
+    upsert requires one row per key. Tie rule: two change rows for the
+    same key with EQUAL ts are broken by comparing all remaining columns
+    descending — any deterministic total order works, and this one needs
+    no extra sequence column, so a checkpoint replay of the same batch
+    picks the same winner and the idempotence contract above holds.
+    Returns the StreamingQuery handle (availableNow: drain, then stop)."""
     from data_bridge_spark.sinks.writers import upsert_partitioned_table
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
-        w = W.partitionBy(*key_cols).orderBy(F.col("ts").desc())
+        tiebreak = [
+            F.col(c).desc() for c in batch_df.columns if c not in (*key_cols, "ts")
+        ]
+        w = W.partitionBy(*key_cols).orderBy(F.col("ts").desc(), *tiebreak)
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

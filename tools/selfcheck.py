@@ -89,10 +89,12 @@ def canon_duck_type(t: str) -> str:
 
 def main() -> int:
     # usage: selfcheck.py [sf_dir] [name ...] [--exclude name ...]
-    # --exclude lets a sweep split out the deliberately-expensive
-    # recursive-closure oracles (dedup_clusters/dedup_pipeline, ~40 min
-    # EACH in DuckDB at sf0.1) to run separately; excluded names are
-    # printed so a log can't silently pass for a full sweep.
+    # --exclude splits out named queries to run separately; excluded
+    # names are printed so a log can't silently pass for a full sweep.
+    # (Its original reason is gone: the dedup_clusters/dedup_pipeline
+    # closure oracles, once ~40 min EACH at sf0.1, are now K-unrolled
+    # with a fixpoint witness and run in seconds — full sweeps need no
+    # exclusions.)
     args = sys.argv[1:]
     excluded: set[str] = set()
     if "--exclude" in args:
