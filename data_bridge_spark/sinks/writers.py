@@ -194,6 +194,46 @@ def compact_partitioned_table(
     return n
 
 
+def emit_tombstones(
+    spark,
+    updates: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    key_cols: list[str],
+) -> DataFrame:
+    """(key_cols..., partition_cols...) rows for update keys whose NEW
+    partition assignment differs from the one they currently occupy in
+    the table at ``path`` — the partition columns in the output are the
+    OLD (on-disk) values, i.e. exactly the leaves the upsert must also
+    rewrite to delete the moved key's stale row.
+
+    This closes the upsert's caller contract ("a key that moves
+    partitions must ship the old partition's tombstone"): feed the
+    result to :func:`upsert_partitioned_table`'s ``tombstones`` param
+    and a moved key lands in its new partition without duplicating in
+    its old one.
+
+    Cost model: one scan of the existing table with the update key set
+    broadcast (map-side hash probe — the big side never shuffles),
+    output ∝ moved keys. At 100 TB you'd bound the scan further with a
+    key→partition index or a table format's column stats; the plan
+    shape here is the fallback that always works."""
+    from pyspark.sql import functions as F
+
+    new_assign = updates.select(
+        *key_cols, *[F.col(c).alias(f"__new_{c}") for c in partition_cols]
+    )
+    existing = spark.read.parquet(path).select(*key_cols, *partition_cols)
+    moved = F.lit(False)
+    for c in partition_cols:
+        moved = moved | ~F.col(c).eqNullSafe(F.col(f"__new_{c}"))
+    return (
+        existing.join(F.broadcast(new_assign), key_cols)
+        .filter(moved)
+        .select(*key_cols, *partition_cols)
+    )
+
+
 def upsert_partitioned_table(
     spark,
     updates: DataFrame,
@@ -201,6 +241,7 @@ def upsert_partitioned_table(
     partition_cols: list[str],
     key_cols: list[str],
     sort_cols: list[str] | None = None,
+    tombstones: DataFrame | None = None,
 ) -> int:
     """Partition-scoped upsert (MERGE emulation without a table format):
     replace rows matching ``key_cols``, keep the partition's other rows,
@@ -223,16 +264,21 @@ def upsert_partitioned_table(
     :func:`compact_partitioned_table`; on object stores use a commit-log
     table format instead). Returns rows written.
 
-    Caller contract: ``key_cols`` are non-null, and a key's partition
-    assignment is stable (an update that MOVES a key across partitions
-    must also ship the old partition's tombstone — classic Hive-upsert
-    caveat, surfaced here rather than silently duplicating)."""
+    Caller contract: ``key_cols`` are non-null. A key's partition
+    assignment is assumed stable UNLESS ``tombstones`` is given: pass
+    :func:`emit_tombstones`' output (update keys with their OLD on-disk
+    partition values) and the moved keys' old leaves join the touched
+    set, so the stale rows are dropped by the same key anti-join that
+    replaces rows in-place — no duplicate survives a partition move."""
     from functools import reduce
     from operator import and_, or_
 
     from pyspark.sql import functions as F
 
-    touched = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
+    touched_df = updates.select(*partition_cols)
+    if tombstones is not None:
+        touched_df = touched_df.unionByName(tombstones.select(*partition_cols))
+    touched = [tuple(r) for r in touched_df.distinct().collect()]
     if not touched:
         return 0
     existing = spark.read.parquet(path)
@@ -287,6 +333,15 @@ def upsert_partitioned_table(
             os.rename(dst, old)
         os.rename(src, dst)
         shutil.rmtree(old, ignore_errors=True)
+    # a touched partition whose merged result is EMPTY (e.g. its only row
+    # was a moved key's tombstone) writes no leaf above — drop the live
+    # leaf too, or the stale row would survive the upsert
+    written = set(leaves)
+    for tup in touched:
+        rel = os.path.join(*[f"{c}={v}" for c, v in zip(partition_cols, tup)])
+        live = os.path.join(path, rel)
+        if rel not in written and os.path.isdir(live):
+            shutil.rmtree(live, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return n
 

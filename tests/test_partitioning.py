@@ -310,3 +310,84 @@ def test_upsert_cross_partition_move_is_the_documented_caveat(spark, sf_dir, tmp
     # both the old row (untouched partition) and the moved row exist
     assert after.count() == 2
     assert set(r.o_orderpriority for r in after.collect()) == {"1-URGENT", "5-LOW"}
+
+
+def test_upsert_with_tombstones_moves_key_without_duplicating(spark, sf_dir, tmp_path):
+    """emit_tombstones + upsert(tombstones=...): a key that changes its
+    partition value lands ONLY in the new partition — the old leaf is
+    rewritten without it (closing the caveat the test above pins for the
+    tombstone-less call)."""
+    from data_bridge_spark.sinks.writers import (
+        emit_tombstones,
+        upsert_partitioned_table,
+        write_partitioned_table,
+    )
+
+    path = str(tmp_path / "orders_move_ts")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_partitioned_table(orders, path, partition_cols=["o_orderpriority"])
+    victim = orders.filter(F.col("o_orderpriority") == "1-URGENT").limit(1).collect()[0]
+    moved = spark.createDataFrame(
+        [(victim.o_orderkey, "5-LOW", -9.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    ts = emit_tombstones(
+        spark, moved, path, partition_cols=["o_orderpriority"], key_cols=["o_orderkey"]
+    )
+    ts_rows = [tuple(r) for r in ts.collect()]
+    assert ts_rows == [(victim.o_orderkey, "1-URGENT")]
+    # a non-moving update must emit NO tombstone
+    stay = spark.createDataFrame(
+        [(victim.o_orderkey, "1-URGENT", -9.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    assert emit_tombstones(
+        spark, stay, path, partition_cols=["o_orderpriority"], key_cols=["o_orderkey"]
+    ).count() == 0
+
+    upsert_partitioned_table(
+        spark,
+        moved,
+        path,
+        partition_cols=["o_orderpriority"],
+        key_cols=["o_orderkey"],
+        tombstones=ts,
+    )
+    after = spark.read.parquet(path).filter(F.col("o_orderkey") == victim.o_orderkey)
+    rows = after.collect()
+    assert len(rows) == 1
+    assert rows[0].o_orderpriority == "5-LOW" and rows[0].o_totalprice == -9.0
+    # nothing else was lost from the old partition
+    assert (
+        spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT").count()
+        == orders.filter(F.col("o_orderpriority") == "1-URGENT").count() - 1
+    )
+
+
+def test_upsert_tombstone_empties_singleton_partition(spark, tmp_path):
+    """If the moved key was its old partition's ONLY row, the merged
+    output writes no leaf for it — the upsert must still remove the live
+    leaf, or the stale row survives."""
+    from data_bridge_spark.sinks.writers import (
+        emit_tombstones,
+        upsert_partitioned_table,
+        write_partitioned_table,
+    )
+
+    path = str(tmp_path / "singleton_move")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, p string, v double"
+    )
+    write_partitioned_table(base, path, partition_cols=["p"])
+    moved = spark.createDataFrame([(2, "a", 21.0)], "k long, p string, v double")
+    ts = emit_tombstones(spark, moved, path, partition_cols=["p"], key_cols=["k"])
+    upsert_partitioned_table(
+        spark, moved, path, partition_cols=["p"], key_cols=["k"], tombstones=ts
+    )
+    after = spark.read.parquet(path)
+    assert sorted(tuple(r) for r in after.collect()) == [(1, 10.0, "a"), (2, 21.0, "a")]
+    import os
+
+    assert not os.path.isdir(os.path.join(path, "p=b"))
