@@ -69,3 +69,43 @@ def test_dq_drift_is_a_distance(spark, sf_dir):
     # the exact-decimal numerator reproduces the float definition
     approx = 0.5 * sum(abs(r["share_a"] - r["share_b"]) for r in rows)
     assert abs(tv - approx) < 1e-9
+
+
+def test_stratified_hash_sample_is_partitioning_invariant(spark, sf_dir):
+    """Bit-determinism doctrine: the hash-decided stratified sample is a
+    pure function of (key, lang), so ANY repartitioning of the input —
+    round-robin 3, hash-by-lang 7, coalesce 1 — yields the identical
+    doc set. (sampleBy's RNG stream is partitioning-dependent by
+    construction; that variant's contract is statistical, pinned below.)"""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from data_bridge_spark.operators.mlprep import _hash_pct
+
+    def sample(df):
+        pct = _hash_pct(F.col("doc_id"), "strat-")
+        rate = (
+            F.when(F.col("lang") == "en", 30)
+            .when(F.col("lang") == "zh", 100)
+            .otherwise(80)
+        )
+        return {(r.doc_id, r.lang) for r in df.filter(pct < rate).select("doc_id", "lang").collect()}
+
+    base = sample(docs)
+    assert base
+    assert sample(docs.repartition(3)) == base
+    assert sample(docs.repartition(7, "lang")) == base
+    assert sample(docs.coalesce(1)) == base
+
+
+def test_stratified_rng_sample_keeps_fractions_under_repartitioning(spark, sf_dir):
+    """sample_stratified (sampleBy) promises per-stratum STATISTICS, not a
+    stable row set — its docstring points determinism-needing callers at
+    the hash variant. Pin the statistical half: after an adversarial
+    repartition the per-language fractions still land."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(11)
+    fractions = {"en": 0.3, "es": 0.8, "fr": 0.8, "de": 0.8, "zh": 1.0}
+    out = docs.sampleBy("lang", fractions, seed=42)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, frac in fractions.items():
+        ratio = got.get(lang, 0) / full[lang]
+        assert abs(ratio - frac) < 0.25, f"{lang}: {ratio} vs {frac}"
