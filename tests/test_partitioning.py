@@ -288,9 +288,10 @@ def test_upsert_multilevel_partitions_swap_leaf_only(spark, sf_dir, tmp_path):
 
 
 def test_upsert_cross_partition_move_is_the_documented_caveat(spark, sf_dir, tmp_path):
-    """The docstring says a key moving partitions without a tombstone
-    duplicates (classic Hive-upsert caveat) — pin that contract so a
-    future 'fix' that silently changes semantics trips a test."""
+    """A key moving partitions WITHOUT a tombstone duplicates (classic
+    Hive-upsert caveat) — pin that default so a change that silently
+    alters semantics trips a test; the supported path for key moves is
+    emit_tombstones + upsert(tombstones=...), tested below."""
     from data_bridge_spark.sinks.writers import upsert_partitioned_table
 
     path = str(tmp_path / "orders_move")
