@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
-from data_bridge_spark.functions.exact import davg, dfactor, dmoney, dsum
+from data_bridge_spark.functions.exact import davg, dec_to_double, dfactor, dmoney, dsum
 from data_bridge_spark.registry import register
 
 
@@ -80,16 +80,20 @@ def agg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            # sums collapse to decimal(18,6) before the double cast: the
-            # 3-factor product carries ≤6 decimals so nothing rounds, and a
-            # scale-6 unscaled value stays under 2^53 where every engine's
-            # decimal→double conversion is a single correct rounding
-            # (DuckDB double-rounds above that) — see functions/exact.py.
-            F.sum(price * (1 - disc)).cast("decimal(18,6)").cast("double").alias("sum_disc_price"),
-            F.sum((price * (1 - disc)).cast("decimal(15,6)") * (1 + tax))
-            .cast("decimal(18,6)")
-            .cast("double")
-            .alias("sum_charge"),
+            # sums collapse to decimal(18,6) before the double conversion:
+            # the 3-factor product carries ≤6 decimals so nothing rounds;
+            # dec_to_double then mirrors DuckDB's unscaled/divide form so
+            # the conversion stays engine-identical even past 2^53 unscaled
+            # (sum_charge crossed it at sf1) — see functions/exact.py.
+            dec_to_double(F.sum(price * (1 - disc)).cast("decimal(18,6)"), 6).alias(
+                "sum_disc_price"
+            ),
+            dec_to_double(
+                F.sum((price * (1 - disc)).cast("decimal(15,6)") * (1 + tax)).cast(
+                    "decimal(18,6)"
+                ),
+                6,
+            ).alias("sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),

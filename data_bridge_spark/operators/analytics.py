@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
-from data_bridge_spark.functions.exact import dsum
+from data_bridge_spark.functions.exact import dec_to_double, dsum
 from data_bridge_spark.registry import register
 
 
@@ -116,10 +116,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q6 = F.col("l_quantity").cast("decimal(18,6)")
     d4 = F.col("l_discount").cast("decimal(8,4)")
     n = F.count(F.lit(1))
-    sum_q = F.sum(q6).cast("double")
-    sum_qq = F.sum(q6 * q6).cast("double")
-    sum_qd = F.sum(q6 * d4).cast("double")
-    sum_d = F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+    sum_q = dec_to_double(F.sum(q6), 6)
+    sum_qq = dec_to_double(F.sum(q6 * q6), 12)
+    sum_qd = dec_to_double(F.sum(q6 * d4), 10)
+    sum_d = dec_to_double(F.sum(F.col("l_discount").cast("decimal(18,6)")), 6)
     return t.lineitem.groupBy("l_returnflag").agg(
         n.alias("n"),
         F.sqrt((sum_qq - sum_q * sum_q / n) / (n - 1)).alias("qty_stddev"),

@@ -118,10 +118,12 @@ def _bands_sql(src: str = "documents", n_hashes: int = _N_HASHES, bands: int = _
 _BUCKET_CAP = 64
 
 # Unrolled-closure depth for the connected-components oracles: measured
-# fixpoint is 5 label-propagation iterations at sf0.01 and 7 at sf0.1;
-# 10 is headroom, and the oracle PROVES the cap is not binding via its
-# not_converged witness (see _unrolled_cc_sql) rather than assuming it.
-_CC_ORACLE_LEVELS = 10
+# fixpoint is 5 label-propagation iterations at sf0.01, 7 at sf0.1, and
+# 11 at sf1 (where depth 10 correctly fired the not_converged witness —
+# the sf1 slice caught it as a loud rowcount+poison mismatch, proving
+# the guard); 14 is headroom over the measured decade, and the oracle
+# PROVES the cap is not binding via the witness rather than assuming it.
+_CC_ORACLE_LEVELS = 14
 
 
 def _bands_long(docs: DataFrame, n_hashes: int = _N_HASHES, bands: int = _BANDS) -> DataFrame:

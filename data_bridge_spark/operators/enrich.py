@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
-from data_bridge_spark.functions.exact import dec, dfactor, dmoney
+from data_bridge_spark.functions.exact import dec, dec_to_double, dfactor, dmoney
 from data_bridge_spark.functions.vectors import cosine_similarity
 from data_bridge_spark.operators.dedup import _bands_sql, _pairs_sql, lsh_candidate_pairs
 from data_bridge_spark.registry import register
@@ -232,10 +232,10 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     q6 = F.col("l_quantity").cast("decimal(18,6)")
     p2 = F.col("l_extendedprice").cast("decimal(19,2)")
     n = F.count(F.lit(1))
-    sum_q = F.sum(q6).cast("decimal(38,2)").cast("double")
-    sum_p = F.sum(p2).cast("decimal(38,2)").cast("double")
-    sum_qp = F.sum(q6 * p2).cast("decimal(38,2)").cast("double")
-    sum_qq = F.sum(q6 * q6).cast("decimal(38,2)").cast("double")
+    sum_q = dec_to_double(F.sum(q6).cast("decimal(38,2)"), 2)
+    sum_p = dec_to_double(F.sum(p2).cast("decimal(38,2)"), 2)
+    sum_qp = dec_to_double(F.sum(q6 * p2).cast("decimal(38,2)"), 2)
+    sum_qq = dec_to_double(F.sum(q6 * q6).cast("decimal(38,2)"), 2)
     sum_pp = F.round(F.sum(p2 * p2), 0).cast("decimal(38,0)").cast("double")
     corr = (n * sum_qp - sum_q * sum_p) / (
         F.sqrt(n * sum_qq - sum_q * sum_q) * F.sqrt(n * sum_pp - sum_p * sum_p)
@@ -670,8 +670,8 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (scale 6 would overflow that bound at sf0.1+; see
     functions/exact.py docstring).  One map-side-combinable exchange."""
     t = Tables(spark, sf_dir)
-    num = F.sum(dmoney("l_extendedprice") * dfactor("l_quantity")).cast("decimal(18,2)").cast("double")
-    den = F.sum(dec("l_quantity")).cast("decimal(18,6)").cast("double")
+    num = dec_to_double(F.sum(dmoney("l_extendedprice") * dfactor("l_quantity")).cast("decimal(18,2)"), 2)
+    den = dec_to_double(F.sum(dec("l_quantity")).cast("decimal(18,6)"), 6)
     return t.lineitem.groupBy("l_returnflag").agg((num / den).alias("wavg_price"))
 
 

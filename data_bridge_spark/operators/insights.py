@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
-from data_bridge_spark.functions.exact import davg, dfactor, dmoney, dsum
+from data_bridge_spark.functions.exact import davg, dec_to_double, dfactor, dmoney, dsum
 from data_bridge_spark.operators.dedup import _bands_long, _minhash_sql_cols, _norm, _NORM_SQL
 from data_bridge_spark.registry import register
 
@@ -282,10 +282,10 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     q6 = F.col("l_quantity").cast("decimal(18,6)")
     p2 = F.col("l_extendedprice").cast("decimal(19,2)")
     n = F.count(F.lit(1))
-    sq = F.sum(q6).cast("decimal(38,2)").cast("double")
-    sp = F.sum(p2).cast("decimal(38,2)").cast("double")
-    sqp = F.sum(q6 * p2).cast("decimal(38,2)").cast("double")
-    sqq = F.sum(q6 * q6).cast("decimal(38,2)").cast("double")
+    sq = dec_to_double(F.sum(q6).cast("decimal(38,2)"), 2)
+    sp = dec_to_double(F.sum(p2).cast("decimal(38,2)"), 2)
+    sqp = dec_to_double(F.sum(q6 * p2).cast("decimal(38,2)"), 2)
+    sqq = dec_to_double(F.sum(q6 * q6).cast("decimal(38,2)"), 2)
     slope = (n * sqp - sq * sp) / (n * sqq - sq * sq)
     intercept = (sp - slope * sq) / n
     return t.lineitem.groupBy("l_returnflag").agg(

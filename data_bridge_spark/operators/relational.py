@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
-from data_bridge_spark.functions.exact import davg, dec, dsum
+from data_bridge_spark.functions.exact import davg, dec, dec_to_double, dsum
 from data_bridge_spark.functions.templating import render_sql
 from data_bridge_spark.registry import register
 
@@ -79,10 +79,10 @@ def flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("priority"))
         .agg(
             F.sum("cnt").alias("n_items"),
-            F.sum("qty_part").cast("double").alias("sum_qty"),
-            F.sum("rev_part").cast("decimal(18,6)").cast("double").alias("revenue"),
+            dec_to_double(F.sum("qty_part"), 6).alias("sum_qty"),
+            dec_to_double(F.sum("rev_part").cast("decimal(18,6)"), 6).alias("revenue"),
             (
-                F.sum(dec("o_totalprice") * F.col("cnt")).cast("double")
+                dec_to_double(F.sum(dec("o_totalprice") * F.col("cnt")), 6)
                 / F.sum(
                     F.when(F.col("o_totalprice").isNotNull(), F.col("cnt")).otherwise(
                         F.lit(0)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
-from data_bridge_spark.functions.exact import dec, dfactor, dmoney
+from data_bridge_spark.functions.exact import dec, dec_to_double, dfactor, dmoney
 from data_bridge_spark.registry import register
 
 # shared oracle fragment: the exact-decimal discounted-revenue sum,
@@ -327,7 +327,7 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,6)")
             .cast("double")
             .alias("promo_revenue"),
-            F.sum(disc).cast("decimal(18,6)").cast("double").alias("total_revenue"),
+            dec_to_double(F.sum(disc).cast("decimal(18,6)"), 6).alias("total_revenue"),
         )
     )
     return s.select(
@@ -618,10 +618,13 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             (
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", amount).otherwise(zero))
-                .cast("decimal(18,6)")
-                .cast("double")
-                / F.sum(amount).cast("decimal(18,6)").cast("double")
+                dec_to_double(
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_1", amount).otherwise(zero)
+                    ).cast("decimal(18,6)"),
+                    6,
+                )
+                / dec_to_double(F.sum(amount).cast("decimal(18,6)"), 6)
             ).alias("mkt_share")
         )
     )
@@ -685,8 +688,8 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
-                F.sum(revenue).cast("decimal(18,6)").cast("double")
-                - F.sum(cost).cast("decimal(18,6)").cast("double")
+                dec_to_double(F.sum(revenue).cast("decimal(18,6)"), 6)
+                - dec_to_double(F.sum(cost).cast("decimal(18,6)"), 6)
             ).alias("profit")
         )
     )
