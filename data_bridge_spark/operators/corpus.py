@@ -446,3 +446,112 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
         )
     )
+
+
+@register(
+    "text_contamination_spans",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, unnest(list_transform(
+               list_filter(list_zip(words, words[2:], words[3:]), s -> s[3] IS NOT NULL),
+               s -> s[1] || ' ' || s[2] || ' ' || s[3])) AS shingle
+      FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS words FROM documents)
+    ),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, shingle FROM tri
+              WHERE doc_id < {_BENCH_MAX_DOC}),
+    corpus AS (SELECT DISTINCT doc_id, shingle FROM tri
+               WHERE doc_id >= {_BENCH_MAX_DOC}),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM corpus GROUP BY doc_id)
+    SELECT c.doc_id, b.bench_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(s.n_tri) AS frac_contaminated
+    FROM corpus c JOIN bench b USING (shingle) JOIN sizes s ON s.doc_id = c.doc_id
+    GROUP BY c.doc_id, b.bench_id
+    """,
+    tags=("text", "decontaminate", "mlprep", "audit"),
+)
+def text_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination AUDIT — the report behind the
+    text_decontaminate filter: for each (corpus doc, benchmark doc) pair
+    sharing at least one word trigram, the count of distinct shared
+    trigrams and the fraction of the corpus doc's trigrams they cover.
+    This is what an eval-integrity review actually reads ("WHICH
+    benchmark leaked into which training doc, and how much"), not just
+    the boolean drop decision.
+
+    Same 100 TB shape as the filter: the benchmark side is tiny and
+    broadcast (here it keeps bench_id, so the join is a broadcast hash
+    join rather than a semi-join), the corpus side never shuffles on the
+    shingle key, and the only exchanges are the per-(doc, bench) count
+    and the per-doc size — both map-side combinable, output bounded by
+    actual contamination. The fraction is an integer-ratio double both
+    engines compute bit-identically."""
+    t = Tables(spark, sf_dir)
+    tri = t.documents.select(
+        "doc_id", F.explode(_ngrams(_words(F.col("text")), 3)).alias("shingle")
+    )
+    bench = F.broadcast(
+        tri.filter(F.col("doc_id") < _BENCH_MAX_DOC)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        .distinct()
+    )
+    corpus = tri.filter(F.col("doc_id") >= _BENCH_MAX_DOC).distinct()
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tri"))
+    return (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_tri")).alias(
+                "frac_contaminated"
+            ),
+        )
+    )
+
+
+_QUOTA_PER_SOURCE = 200
+
+
+@register(
+    "corpus_quota_sample",
+    oracle=f"""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY MD5('quota-' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    ) WHERE rk <= {_QUOTA_PER_SOURCE}
+    """,
+    tags=("corpus", "sampling", "mlprep"),
+)
+def corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: cap any single source's contribution at
+    Q documents (200 here), chosen deterministically by content-hash
+    order — the "no source dominates the mix" primitive that sits next
+    to temperature weighting in corpus assembly. Hash order (not doc_id
+    order) makes the kept set unbiased w.r.t. ingestion order, and a
+    pure function of (seed, key): re-runs, retries, and repartitionings
+    keep the identical sample (same doctrine as sample_stratified_hash).
+
+    Scale shape: one shuffle on source + a per-source TOP-Q. For a
+    pathologically large single source the full sort is avoidable — at
+    100 TB, pre-prune with an approximate hash-rank threshold (sample
+    the hash distribution, keep rows below the ~Q-quantile estimate,
+    then exact-rank the survivors) so the sort input is O(Q) per source,
+    not O(source). The window form here is the semantics contract the
+    pre-pruned plan must reproduce."""
+    t = Tables(spark, sf_dir)
+    key = F.md5(F.concat(F.lit("quota-"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(key, F.col("doc_id"))
+    return (
+        t.documents.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= _QUOTA_PER_SOURCE)
+    )

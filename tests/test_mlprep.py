@@ -109,3 +109,43 @@ def test_stratified_rng_sample_keeps_fractions_under_repartitioning(spark, sf_di
     for lang, frac in fractions.items():
         ratio = got.get(lang, 0) / full[lang]
         assert abs(ratio - frac) < 0.25, f"{lang}: {ratio} vs {frac}"
+
+
+def test_contamination_spans_consistent_with_filter(spark, sf_dir):
+    """The span audit must agree with the boolean filter it explains:
+    summing distinct shared trigrams per (doc, bench) pair can only
+    OVERCOUNT the per-doc distinct count (a trigram shared with two
+    bench docs counts twice in the pair grain), never undercount, and
+    the set of flagged docs is identical; fractions are in (0, 1]."""
+    spans = REG["text_contamination_spans"].fn(spark, sf_dir)
+    flat = REG["text_decontaminate"].fn(spark, sf_dir)
+    rows = spans.collect()
+    assert rows
+    assert all(0 < r.frac_contaminated <= 1.0 for r in rows)
+    per_doc_pairs = {}
+    for r in rows:
+        per_doc_pairs[r.doc_id] = per_doc_pairs.get(r.doc_id, 0) + r.n_shared
+    per_doc_flat = {r.doc_id: r.n_shared for r in flat.collect()}
+    assert set(per_doc_pairs) == set(per_doc_flat)
+    assert all(per_doc_pairs[d] >= per_doc_flat[d] for d in per_doc_flat)
+
+
+def test_quota_sample_caps_and_is_partitioning_invariant(spark, sf_dir):
+    """Every source contributes at most Q docs; hash order makes the kept
+    doc set invariant under input repartitioning."""
+    out = REG["corpus_quota_sample"].fn(spark, sf_dir)
+    per_source = {r.source: r.n for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_source and all(n <= 200 for n in per_source.values())
+    base = {(r.doc_id, r.source) for r in out.collect()}
+    from data_bridge_spark.operators.corpus import corpus_quota_sample as _  # noqa: F401
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(13)
+    key = F.md5(F.concat(F.lit("quota-"), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window as W2
+    w = W2.partitionBy("source").orderBy(key, F.col("doc_id"))
+    again = {
+        (r.doc_id, r.source)
+        for r in docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 200)
+        .collect()
+    }
+    assert again == base
