@@ -59,3 +59,44 @@ def test_apply_cast_map(spark):
     assert types == {"a": "bigint", "b": "decimal(10,2)", "c": "string"}
     row = out.collect()[0]
     assert row.a == 1 and str(row.b) == "2.50" and row.c == "x"
+
+
+def test_dec_to_double_matches_duckdb_past_2_53(spark):
+    """The 2^53 contract directly: for decimals whose unscaled value
+    exceeds 2^53 — where Spark's native cast (one correct rounding) and
+    DuckDB's CAST (unscaled→double, then divide) differ by an ulp —
+    dec_to_double must equal DuckDB bit-for-bit, and below 2^53 all
+    three forms must agree.  27864155010.941591 is a measured case where
+    the two algorithms genuinely diverge (caught by the sf1 slice)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_bridge_spark.functions.exact import dec_to_double
+
+    vals = [
+        "27864155010.941593",   # past 2^53, algorithms happen to agree
+        "27864155010.941591",   # past 2^53, algorithms DISAGREE (1 ulp)
+        "12345678.901234",      # under 2^53: all forms identical
+        "-27864155010.941591",  # sign symmetry
+    ]
+    con = duckdb.connect()
+    for v in vals:
+        duck = con.execute(
+            f"SELECT CAST(CAST('{v}' AS DECIMAL(38,6)) AS DOUBLE)"
+        ).fetchone()[0]
+        got = (
+            spark.range(1)
+            .select(dec_to_double(F.lit(v).cast("decimal(38,6)"), 6).alias("d"))
+            .collect()[0]
+            .d
+        )
+        assert got == duck, (v, got.hex(), duck.hex())
+        if abs(float(v)) < 2**53 / 1e6:
+            native = (
+                spark.range(1)
+                .select(F.lit(v).cast("decimal(38,6)").cast("double").alias("d"))
+                .collect()[0]
+                .d
+            )
+            assert got == native == duck
