@@ -335,3 +335,49 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(_PATH_TOPK)
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH pairs AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS nxt
+        FROM events
+    )
+    SELECT cur, nxt, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER (PARTITION BY cur) AS DOUBLE) AS p
+    FROM pairs WHERE nxt IS NOT NULL
+    GROUP BY cur, nxt
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams: for
+    every (current, next) event-type pair, the transition count and the
+    row-normalized probability P(next | current) — the model behind
+    next-action prediction and journey simulation (complements
+    events_top_paths' raw trigram mining; ref runs this class of
+    sequence query as SQL text, `reference/src/data_bridge/extractor.py`).
+
+    Plan shape: one shuffle on user_id for the LEAD window, then a
+    map-side-combinable count shuffle whose output is at most
+    |event_types|^2 rows (25 here) — the normalizing window runs on that
+    tiny matrix, so cost is scan + two bounded exchanges at any scale.
+    The probability is one double division of two exact integer counts —
+    bit-identical across engines (no libm)."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        t.events.select(F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+    )
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    denom = F.sum("n").over(W.partitionBy("cur"))
+    return counts.select(
+        "cur", "nxt", "n",
+        (F.col("n").cast("double") / denom.cast("double")).alias("p"),
+    )

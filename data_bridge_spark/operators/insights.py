@@ -575,3 +575,111 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+_KS_A, _KS_B = "purchase", "click"
+_KS_BUCKETS = 64
+
+
+@register(
+    "stats_ks",
+    oracle=f"""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    per_v AS (
+        SELECT v, SUM(is_a) AS na_v, SUM(1 - is_a) AS nb_v FROM s GROUP BY v
+    ),
+    cdf AS (
+        SELECT CAST(SUM(na_v) OVER w AS DOUBLE) AS ra,
+               CAST(SUM(nb_v) OVER w AS DOUBLE) AS rb
+        FROM per_v
+        WINDOW w AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT CAST(SUM(na_v) AS DOUBLE) AS na, CAST(SUM(nb_v) AS DOUBLE) AS nb
+        FROM per_v
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a,
+           CAST(t.nb AS BIGINT) AS n_b,
+           MAX(ABS(c.ra / t.na - c.rb / t.nb)) AS ks_stat,
+           1.358 * SQRT((t.na + t.nb) / (t.na * t.nb)) AS crit_05,
+           CAST(MAX(ABS(c.ra / t.na - c.rb / t.nb))
+                > 1.358 * SQRT((t.na + t.nb) / (t.na * t.nb)) AS BOOLEAN) AS reject_05
+    FROM cdf c CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+    tags=("stats", "drift"),
+)
+def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the `value`
+    distributions of two event populations (purchase vs click): the
+    drift detector for continuous columns, complementing stats_chisq
+    (categorical) and dq_drift (total-variation on bucketed counts).
+    KS = max_x |F_a(x) - F_b(x)| over the pooled empirical CDFs, plus
+    the alpha=0.05 critical value 1.358*sqrt((n_a+n_b)/(n_a*n_b)) and
+    the reject flag.
+
+    Scale shape — the textbook formulation is a GLOBAL ordered running
+    sum (one partition holding every distinct value); this plan replaces
+    it with a distributed two-level prefix sum: distinct values get
+    range-bucketed by width_bucket over the broadcast (min,max) scalar,
+    running sums run per-bucket (parallel windows), and per-bucket
+    offsets come from a {_KS_BUCKETS}-row bucket-total table whose own
+    running sum is trivially bounded. Every per-value CDF point is
+    identical to the single-partition formulation (the oracle computes
+    exactly that), so the final MAX is partitioning-independent. All
+    arithmetic is division/abs/sqrt on exact integer counts —
+    IEEE-correctly-rounded, bit-identical across engines (no libm
+    transcendentals)."""
+    t = Tables(spark, sf_dir)
+    s = t.events.where(F.col("event_type").isin(_KS_A, _KS_B)).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("is_a"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum("is_a").alias("na_v"), F.sum(1 - F.col("is_a")).alias("nb_v")
+    )
+    rng = per_v.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+        F.sum("na_v").cast("double").alias("na"), F.sum("nb_v").cast("double").alias("nb"),
+    )
+    bucketed = per_v.crossJoin(F.broadcast(rng)).withColumn(
+        "bucket", F.width_bucket("v", "vmin", "vmax", F.lit(_KS_BUCKETS))
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = bucketed.withColumn("la", F.sum("na_v").over(in_bucket)).withColumn(
+        "lb", F.sum("nb_v").over(in_bucket)
+    )
+    btot = bucketed.groupBy("bucket").agg(
+        F.sum("na_v").alias("ba"), F.sum("nb_v").alias("bb")
+    )
+    prior = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("ba").over(prior), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("bb").over(prior), F.lit(0)).alias("ob"),
+    )
+    cdf = local.join(F.broadcast(offsets), "bucket").select(
+        ((F.col("oa") + F.col("la")).cast("double") / F.col("na")).alias("fa"),
+        ((F.col("ob") + F.col("lb")).cast("double") / F.col("nb")).alias("fb"),
+        "na", "nb",
+    )
+    crit = F.lit(1.358) * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
+    return (
+        cdf.groupBy("na", "nb")
+        .agg(F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_stat"))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "ks_stat",
+            crit.alias("crit_05"),
+            (F.col("ks_stat") > crit).alias("reject_05"),
+        )
+    )

@@ -634,3 +634,57 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tv_dist"),
     )
+
+
+from data_bridge_spark.operators.dedup import _bands_sql, _unrolled_cc_sql  # noqa: E402
+
+
+@register(
+    "split_leakage_free",
+    oracle=f"""
+    WITH {_bands_sql()},
+    edges AS MATERIALIZED (
+        SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+        FROM bands l JOIN bands r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+             AND l.doc_id <> r.doc_id
+    ),
+    {_unrolled_cc_sql("documents")}
+    SELECT doc_id, label AS cluster_label,
+           CASE WHEN CAST(('0x' || substr(MD5('{_SEED}' || CAST(label AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM lbl
+    UNION ALL
+    SELECT -1, -1, 'NOT_CONVERGED' FROM not_converged WHERE n > 0
+    """,
+    tags=("mlprep", "split", "dedup"),
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: assign each document's whole
+    near-duplicate CLUSTER (connected component of the MinHash-LSH
+    candidate graph, dedup_clusters' labels) to a split by hashing the
+    cluster label — so a test document can never have a near-duplicate
+    in train. Plain per-doc hash splits (split_train_test) leak: two
+    near-identical docs hash independently and straddle the boundary,
+    inflating eval scores — the standard contamination failure this
+    operator exists to close at corpus scale.
+
+    Plan shape: the CC label propagation (same iterative joins as
+    dedup_clusters, O(diameter) bounded rounds, checkpointed), then one
+    hash projection — assignment is a pure function of (seed, label),
+    so it is stable across engines, re-runs, and partitioning, and an
+    incrementally added doc joins its cluster's existing side. Oracle:
+    the K-unrolled min-label propagation with the not_converged poison
+    witness (same proved-fixpoint pattern as dedup_clusters)."""
+    from data_bridge_spark.operators.dedup import _lsh_cc_labels
+
+    docs = Tables(spark, sf_dir).documents
+    labels = _lsh_cc_labels(docs)
+    pct = _hash_pct(F.col("label"), _SEED)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_label"),
+        F.when(pct < 80, "train").otherwise("test").alias("split"),
+    )
+
+

@@ -390,3 +390,88 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_p"),
         )
     )
+
+
+_LIFT_TOPK = 5
+_LIFT_MIN_COUNT = 3
+
+
+@register(
+    "text_term_lift",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(LOWER(text), ' ')) AS term
+        FROM documents
+    ),
+    ts AS MATERIALIZED (
+        SELECT source, term, COUNT(*) AS n_ts FROM toks GROUP BY source, term
+    ),
+    s AS (SELECT source, SUM(n_ts) AS n_s FROM ts GROUP BY source),
+    t AS (SELECT term, SUM(n_ts) AS n_t FROM ts GROUP BY term),
+    tot AS (SELECT SUM(n_ts) AS n FROM ts),
+    scored AS (
+        SELECT ts.source, ts.term, ts.n_ts,
+               (CAST(ts.n_ts AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+                   / (CAST(t.n_t AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS lift,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ts.source
+                   ORDER BY (CAST(ts.n_ts AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+                            / (CAST(t.n_t AS DOUBLE) / CAST(tot.n AS DOUBLE)) DESC,
+                            ts.term ASC
+               ) AS rk
+        FROM ts
+        JOIN s USING (source)
+        JOIN t USING (term)
+        CROSS JOIN tot
+        WHERE ts.n_ts >= {_LIFT_MIN_COUNT}
+    )
+    SELECT source, term, n_ts, lift, CAST(rk AS INTEGER) AS rk
+    FROM scored WHERE rk <= {_LIFT_TOPK}
+    """,
+    tags=("text", "corpus"),
+)
+def text_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most over-represented terms per source: lift = P(term | source) /
+    P(term) over whitespace tokens — the corpus-contrast report behind
+    "what is this crawl slice actually about" curation calls (the
+    log-odds-with-prior family reduced to its ratio core: lift orders
+    identically to log-lift, and avoiding the log keeps every score two
+    divisions on exact integer counts — bit-identical across engines,
+    per the no-libm doctrine; cf. text_tfidf's linear idf).
+
+    Plan shape: one explode + (source, term) count shuffle — the only
+    data-sized exchange; the three marginals (per-source, per-term,
+    grand total) are map-side-combinable rollups of that count table,
+    re-joined shuffle-on-term / broadcast; top-k runs per-source on the
+    >= {_LIFT_MIN_COUNT}-count survivors. At 100 TB the (source, term)
+    table is vocabulary-bounded per source, the same cardinality
+    argument as text_bigram_lm's LM table."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    toks = t.documents.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    ts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_ts"))
+    s = ts.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
+    tm = ts.groupBy("term").agg(F.sum("n_ts").alias("n_t"))
+    tot = ts.agg(F.sum("n_ts").alias("n"))
+    lift = (F.col("n_ts").cast("double") / F.col("n_s").cast("double")) / (
+        F.col("n_t").cast("double") / F.col("n").cast("double")
+    )
+    scored = (
+        ts.where(F.col("n_ts") >= _LIFT_MIN_COUNT)
+        .join(F.broadcast(s), "source")
+        .join(tm, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lift", lift)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.desc("lift"), F.asc("term"))
+            ),
+        )
+    )
+    return scored.where(F.col("rk") <= _LIFT_TOPK).select(
+        "source", "term", "n_ts", "lift", "rk"
+    )

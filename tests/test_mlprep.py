@@ -149,3 +149,93 @@ def test_quota_sample_caps_and_is_partitioning_invariant(spark, sf_dir):
         .collect()
     }
     assert again == base
+
+
+def test_split_leakage_free_cluster_atomic(spark, sf_dir):
+    """The leakage contract itself: no LSH candidate pair (near-dup
+    evidence edge) may straddle the train/test boundary — and the split
+    must still be usable (both sides populated, stable across re-runs)."""
+    from data_bridge_spark.catalog import Tables
+    from data_bridge_spark.operators.dedup import lsh_candidate_pairs
+
+    out = {
+        r.doc_id: (r.cluster_label, r.split)
+        for r in REG["split_leakage_free"].fn(spark, sf_dir).collect()
+    }
+    docs = Tables(spark, sf_dir).documents
+    pairs = lsh_candidate_pairs(docs).select("id_a", "id_b").collect()
+    assert pairs, "test corpus should contain near-dup candidate edges"
+    for p in pairs:
+        assert out[p.id_a][1] == out[p.id_b][1], (
+            f"near-dup pair {p.id_a}/{p.id_b} straddles the split"
+        )
+    sides = {s for _, s in out.values()}
+    assert sides == {"train", "test"}
+    again = {
+        r.doc_id: (r.cluster_label, r.split)
+        for r in REG["split_leakage_free"].fn(spark, sf_dir).collect()
+    }
+    assert out == again
+
+
+def test_markov_transition_rows_normalize(spark, sf_dir):
+    out = REG["events_markov_transitions"].fn(spark, sf_dir).collect()
+    assert out
+    by_cur: dict[str, float] = {}
+    for r in out:
+        assert 0.0 < r.p <= 1.0 and r.n >= 1
+        by_cur[r.cur] = by_cur.get(r.cur, 0.0) + r.p
+    for cur, total in by_cur.items():
+        assert abs(total - 1.0) < 1e-9, (cur, total)
+
+
+def test_stats_ks_matches_direct_computation(spark, sf_dir):
+    """Triple-check the distributed two-level prefix-sum CDF against a
+    direct single-machine KS computation on the same rows (the oracle
+    already cross-checks DuckDB; this pins the math independently)."""
+    from data_bridge_spark.catalog import Tables
+    from data_bridge_spark.operators.insights import _KS_A, _KS_B
+
+    row = REG["stats_ks"].fn(spark, sf_dir).collect()[0]
+    ev = Tables(spark, sf_dir).events.select("event_type", "value").collect()
+    a = sorted(r.value for r in ev if r.event_type == _KS_A)
+    b = sorted(r.value for r in ev if r.event_type == _KS_B)
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    import bisect
+
+    ks = max(
+        abs(bisect.bisect_right(a, v) / len(a) - bisect.bisect_right(b, v) / len(b))
+        for v in set(a) | set(b)
+    )
+    assert abs(row.ks_stat - ks) < 1e-12
+    assert row.crit_05 > 0 and row.reject_05 == (row.ks_stat > row.crit_05)
+
+
+def test_term_lift_recomputes_from_raw_counts(spark, sf_dir):
+    """Every reported lift must equal the ratio recomputed from raw
+    whitespace-token counts; ranks must be 1..k per source."""
+    import collections
+
+    from data_bridge_spark.catalog import Tables
+
+    out = REG["text_term_lift"].fn(spark, sf_dir).collect()
+    assert out
+    docs = Tables(spark, sf_dir).documents.select("source", "text").collect()
+    n_ts: collections.Counter = collections.Counter()
+    for r in docs:
+        for w in r.text.lower().split(" "):
+            n_ts[(r.source, w)] += 1
+    n_s = collections.Counter()
+    n_t = collections.Counter()
+    for (src, w), c in n_ts.items():
+        n_s[src] += c
+        n_t[w] += c
+    n = sum(n_ts.values())
+    per_source = collections.defaultdict(list)
+    for r in out:
+        expect = (n_ts[(r.source, r.term)] / n_s[r.source]) / (n_t[r.term] / n)
+        assert r.n_ts == n_ts[(r.source, r.term)]
+        assert abs(r.lift - expect) < 1e-9, (r.source, r.term)
+        per_source[r.source].append(r.rk)
+    for src, rks in per_source.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))

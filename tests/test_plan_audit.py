@@ -34,6 +34,8 @@ ALLOW: dict[str, str] = {
     "tpch_q11_important_stock": "HAVING-over-global-scalar shape: cross join vs the 1-row grand-total aggregate (broadcast side is O(1))",
     "basket_pairs": "audit-column edge: cross join vs the 1-row dropped-basket count (broadcast side is O(1))",
     "sim_recall_report": "contains the brute-force baseline (sim_topk's bounded broadcast probe set) plus the 1-row n_exact scalar-edge cross join",
+    "stats_ks": "distributed-CDF prefix sum: cross join vs the 1-row (min,max,n_a,n_b) aggregate (broadcast side is O(1)); per-bucket windows + bounded offset table replace a global ordered window",
+    "text_term_lift": "scalar-edge cross join vs the 1-row grand-total token count (broadcast side is O(1))",
 }
 
 
