@@ -19,7 +19,11 @@ the search corpus grows 10x, which is the scaling being measured).
 Pure DuckDB relational transforms of the read-only source — seed-free,
 rerun-identical. Output: /root/repo/.scale/sf1/*.parquet (gitignored).
 
-Usage: python tools/make_sf1.py [n_shards]
+The same construction extends to any decade: shard key ranges stay
+disjoint for any shard count (every key maximum is < its offset), so
+`make_sf1.py 100 .scale/sf10` yields sf10 — the second measured decade.
+
+Usage: python tools/make_sf1.py [n_shards] [dst_dir]
 """
 
 from __future__ import annotations
@@ -91,6 +95,9 @@ def shard_sql(i: int) -> dict[str, str]:
 
 def main() -> None:
     n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    global DST
+    if len(sys.argv) > 2:
+        DST = os.path.abspath(sys.argv[2])
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     # fixed dims: copy through unchanged
