@@ -587,7 +587,8 @@ _KS_BUCKETS = 64
     WITH s AS (
         SELECT value AS v,
                CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS is_a
-        FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+        FROM events
+        WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND value IS NOT NULL
     ),
     per_v AS (
         SELECT v, SUM(is_a) AS na_v, SUM(1 - is_a) AS nb_v FROM s GROUP BY v
@@ -635,7 +636,12 @@ def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-correctly-rounded, bit-identical across engines (no libm
     transcendentals)."""
     t = Tables(spark, sf_dir)
-    s = t.events.where(F.col("event_type").isin(_KS_A, _KS_B)).select(
+    # NULL is not an observation — and the two engines would place a null
+    # row at opposite ends of the value order (Spark nulls-first, DuckDB
+    # nulls-last), so the exclusion is explicit on both sides
+    s = t.events.where(
+        F.col("event_type").isin(_KS_A, _KS_B) & F.col("value").isNotNull()
+    ).select(
         F.col("value").alias("v"),
         F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("is_a"),
     )
