@@ -239,3 +239,17 @@ def test_term_lift_recomputes_from_raw_counts(spark, sf_dir):
         per_source[r.source].append(r.rk)
     for src, rks in per_source.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_scaling_curve_subset_is_registered():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_curve",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "scaling_curve.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    missing = [n for n in mod.SUBSET if n not in REG]
+    assert not missing, f"scaling_curve SUBSET names not in registry: {missing}"
