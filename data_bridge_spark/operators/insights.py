@@ -689,3 +689,73 @@ def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ks_stat") > crit).alias("reject_05"),
         )
     )
+
+
+# Benford first-digit expected shares log10(1 + 1/d), computed ONCE in
+# Python and embedded as the same literal doubles in both engines — no
+# runtime libm call anywhere (the no-transcendentals doctrine).
+import math as _math
+
+_BENFORD = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "agg_benford",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+        SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM counts)
+    SELECT c.digit, c.n,
+           CAST(c.n AS DOUBLE) / t.total AS share,
+           CASE c.digit {' '.join(f"WHEN {d} THEN CAST('{v!r}' AS DOUBLE)" for d, v in _BENFORD.items())} END AS benford_share,
+           ABS(CAST(c.n AS DOUBLE) / t.total
+               - CASE c.digit {' '.join(f"WHEN {d} THEN CAST('{v!r}' AS DOUBLE)" for d, v in _BENFORD.items())} END) AS abs_dev
+    FROM counts c CROSS JOIN tot t
+    """,
+    tags=("stats", "quality", "benford"),
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed share
+    of each leading digit vs the log10(1+1/d) expectation, plus the
+    absolute deviation — the classic fabricated-data / broken-upstream
+    detector for financial columns (a feed that clamps, truncates, or
+    synthesizes amounts shows up as a digit histogram that can't happen
+    naturally).
+
+    Determinism: the leading digit is extracted through the exact
+    decimal route (DECIMAL(18,2) → unscaled BIGINT → first character),
+    never floor(log10(x)) — and the nine Benford constants are computed
+    once in Python and embedded as identical literal doubles in BOTH
+    engines, so no runtime transcendental exists anywhere. Plan shape:
+    one map-side-combinable count shuffle to a 9-row table; the total
+    is a scalar edge over those 9 rows (same doctrine as stats_chisq's
+    emit-the-cells)."""
+    t = Tables(spark, sf_dir)
+    digit = F.substring(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        t.orders.where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    benford = F.create_map(
+        *[F.lit(x) for dv in _BENFORD.items() for x in dv]
+    )[F.col("digit")]
+    share = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n",
+            share.alias("share"),
+            benford.alias("benford_share"),
+            F.abs(share - benford).alias("abs_dev"),
+        )
+    )

@@ -36,6 +36,7 @@ ALLOW: dict[str, str] = {
     "sim_recall_report": "contains the brute-force baseline (sim_topk's bounded broadcast probe set) plus the 1-row n_exact scalar-edge cross join",
     "stats_ks": "distributed-CDF prefix sum: cross join vs the 1-row (min,max,n_a,n_b) aggregate (broadcast side is O(1)); per-bucket windows + bounded offset table replace a global ordered window",
     "text_term_lift": "scalar-edge cross join vs the 1-row grand-total token count (broadcast side is O(1))",
+    "agg_benford": "scalar-edge cross join vs the 1-row digit-count total over a 9-row table (broadcast side is O(1))",
 }
 
 
