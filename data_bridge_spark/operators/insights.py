@@ -759,3 +759,60 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(share - benford).alias("abs_dev"),
         )
     )
+
+
+_SKEW_TOPK = 20
+
+
+@register(
+    "profile_skew",
+    oracle=f"""
+    WITH k AS (
+        SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS total,
+               CAST(COUNT(*) AS DOUBLE) AS n_keys
+        FROM k
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY k.n DESC, k.key ASC) AS INTEGER) AS rank,
+           k.key, k.n,
+           CAST(k.n AS DOUBLE) / t.total AS share,
+           CAST(k.n AS DOUBLE) * t.n_keys / t.total AS x_avg
+    FROM k CROSS JOIN tot t
+    ORDER BY k.n DESC, k.key ASC
+    LIMIT {_SKEW_TOPK}
+    """,
+    tags=("profile", "skew", "quality"),
+)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the top-{_SKEW_TOPK} heaviest lineitem join
+    keys with each key's share of all rows and its multiple of the mean
+    key depth (x_avg) — the report that decides whether a fact-fact join
+    needs salting / AQE skew-split BEFORE the job runs at 100 TB (a key
+    at 1000x the mean depth is a straggler task; see join_skew_salted
+    for the remedy this report triggers).
+
+    Plan shape: one map-side-combinable count shuffle, TakeOrdered
+    top-k (k rows per partition + driver merge — no global sort), rank
+    assigned by a window over the k-row survivor set, scalar totals ride
+    a 1-row broadcast edge. All scores are IEEE divisions of exact
+    integer counts."""
+    t = Tables(spark, sf_dir)
+    k = t.lineitem.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = k.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_keys"),
+    )
+    top = k.orderBy(F.desc("n"), F.asc("key")).limit(_SKEW_TOPK)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key"))),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank", "key", "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        (F.col("n").cast("double") * F.col("n_keys") / F.col("total")).alias("x_avg"),
+    )

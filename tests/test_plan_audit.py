@@ -37,6 +37,7 @@ ALLOW: dict[str, str] = {
     "stats_ks": "distributed-CDF prefix sum: cross join vs the 1-row (min,max,n_a,n_b) aggregate (broadcast side is O(1)); per-bucket windows + bounded offset table replace a global ordered window",
     "text_term_lift": "scalar-edge cross join vs the 1-row grand-total token count (broadcast side is O(1))",
     "agg_benford": "scalar-edge cross join vs the 1-row digit-count total over a 9-row table (broadcast side is O(1))",
+    "profile_skew": "scalar-edge cross join vs the 1-row (total, n_keys) aggregate against the top-k survivor set (broadcast side is O(1))",
 }
 
 
