@@ -194,3 +194,56 @@ def test_stream_upsert_applies_latest_per_key(spark, sf_dir, tmp_path):
     after2 = spark.read.parquet(table)
     assert after2.count() == base_n
     assert after2.filter(F.col("event_id") == keys[0]).collect()[0].value == -3.0
+
+
+def test_stream_upsert_equal_ts_tie_is_deterministic(spark, sf_dir, tmp_path):
+    """Two change rows for the same key with EQUAL ts: the documented tie
+    rule (remaining columns compared descending) must pick the same
+    winner on every apply — including a full replay into a fresh table
+    from a fresh checkpoint (the idempotence contract on checkpoint
+    replay)."""
+    from data_bridge_spark.sinks.writers import write_partitioned_table
+    from data_bridge_spark.streaming.windows import stream_upsert_to_lake
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .withColumn("ts", F.lit(0).cast("long"))
+    )
+    key = events.select("event_id").first()[0]
+
+    landing = str(tmp_path / "changes")
+    os.makedirs(landing, exist_ok=True)
+    tied = (
+        events.filter(F.col("event_id") == key).withColumn("value", F.lit(-7.0))
+        .unionByName(
+            events.filter(F.col("event_id") == key).withColumn("value", F.lit(-9.0))
+        )
+        .withColumn("ts", F.lit(5).cast("long"))
+    )
+    stage = str(tmp_path / "stage")
+    tied.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    shutil.move(os.path.join(stage, part), os.path.join(landing, "tied.parquet"))
+
+    def apply_once(tag: str) -> float:
+        table = str(tmp_path / f"serving_{tag}")
+        write_partitioned_table(events, table, partition_cols=["event_type"])
+        stream = (
+            spark.readStream.schema(spark.read.parquet(landing).schema)
+            .format("parquet")
+            .load(landing)
+        )
+        q = stream_upsert_to_lake(
+            stream, table, str(tmp_path / f"ckpt_{tag}"),
+            partition_cols=["event_type"], key_cols=["event_id"],
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(table).filter(F.col("event_id") == key).collect()[0].value
+
+    first = apply_once("a")
+    replay = apply_once("b")
+    # value is the only non-(key, ts) column: descending tiebreak → -7.0
+    assert first == replay == -7.0
