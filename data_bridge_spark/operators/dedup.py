@@ -678,10 +678,15 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PP_T = 0.6  # Jaccard threshold for the prefix-filtered similarity join
 
-
-@register(
-    "dedup_ppjoin",
-    oracle=f"""
+# All-pairs form of the ppjoin oracle: O(N² · |tokens|) — tractable only
+# at small SF. It is NOT the registered oracle (at sf1 it is 1.25e9 pair
+# intersections, ~hours of single-threaded closure — the same sweep-
+# stalling class as the old recursive-CTE CC oracles). It remains the
+# LOSSLESSNESS WITNESS: tests/test_operators.py proves the registered
+# prefix-filtered oracle returns the identical pair set on real data,
+# where all-pairs is cheap; the prefix-filter theorem (Xiao et al.,
+# WWW'08) carries the guarantee beyond that.
+_PP_ALLPAIRS_SQL = f"""
     WITH toks AS (
       SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS ws
       FROM documents
@@ -691,6 +696,48 @@ _PP_T = 0.6  # Jaccard threshold for the prefix-filtered similarity join
              len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS i,
              len(a.ws) AS na, len(b.ws) AS nb
       FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {_PP_T}
+    """
+
+
+@register(
+    "dedup_ppjoin",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS ws
+      FROM documents
+    ),
+    freq AS MATERIALIZED (
+      SELECT tok, COUNT(*) AS freq
+      FROM (SELECT doc_id, unnest(ws) AS tok FROM toks)
+      GROUP BY tok
+    ),
+    ordered AS MATERIALIZED (
+      SELECT doc_id, list(tok ORDER BY freq ASC, tok ASC) AS ws
+      FROM (SELECT doc_id, unnest(ws) AS tok FROM toks) u
+      JOIN freq USING (tok)
+      GROUP BY doc_id
+    ),
+    pre AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(ws[1 : len(ws) - CAST(ceil({_PP_T} * len(ws)) AS INTEGER) + 1]) AS tok
+      FROM ordered
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(ta.ws, w -> list_contains(tb.ws, w))) AS i,
+             len(ta.ws) AS na, len(tb.ws) AS nb
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.id_a
+      JOIN toks tb ON tb.doc_id = c.id_b
     )
     SELECT id_a, id_b,
            CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard

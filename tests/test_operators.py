@@ -329,3 +329,22 @@ def test_table_checksum_detects_single_cell_change(spark, sf_dir):
         F.when(F.col("c_custkey") == k, F.lit("TAMPERED")).otherwise(F.col("c_mktsegment")),
     )
     assert checksum(tampered) != clean
+
+
+def test_ppjoin_prefix_filtered_oracle_is_lossless():
+    """The registered dedup_ppjoin oracle is prefix-filtered (the
+    all-pairs form is O(N²·L) and stalls full sweeps at sf1); this pins
+    the filter lossless by running BOTH forms in DuckDB on real data at
+    two SFs and asserting identical pair multisets."""
+    import duckdb
+
+    from data_bridge_spark.operators.dedup import _PP_ALLPAIRS_SQL
+    from data_bridge_spark.registry import load_all
+
+    oracle = load_all()["dedup_ppjoin"].oracle
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        fast = sorted(map(tuple, con.execute(oracle).fetchall()))
+        slow = sorted(map(tuple, con.execute(_PP_ALLPAIRS_SQL).fetchall()))
+        assert fast == slow and len(fast) > 0, sf
