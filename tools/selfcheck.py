@@ -62,6 +62,64 @@ def rowset(cols: list[str], rows: list[tuple]):
     return collections.Counter(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+# Above this many rows a result's multiset is compared as an order-
+# insensitive 128-bit hash SUM instead of a materialized Counter: the
+# Counter path holds every canonical tuple in memory (~30 GB for the
+# 70M-pair dedup_ppjoin result at sf1), the digest path is O(1) memory.
+# Both sides promote at the same row count, so equal results always
+# compare in the same mode; unequal counts fail on rowcount regardless.
+# The trade-off is diff diagnostics (first differing rows) — kept for
+# every result under the threshold, which is all of them except the
+# handful of pair-output queries at sf1+. Env override for testing.
+import os as _os
+
+_HASH_PROMOTE = int(_os.environ.get("SELFCHECK_HASH_PROMOTE", 2_000_000))
+
+
+def _rowhash(key: tuple) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(repr(key).encode()).digest(), "big")
+
+
+class RowDigest:
+    """Canonical-multiset accumulator: exact Counter until _HASH_PROMOTE
+    rows, then an order-insensitive md5-sum mod 2^128 (same object keeps
+    counting either way)."""
+
+    def __init__(self, cols: list[str]):
+        import collections
+
+        self.order = sorted(range(len(cols)), key=lambda i: cols[i])
+        self.n = 0
+        self.counter: dict | None = collections.Counter()
+        self.hashsum = 0
+
+    def add_row(self, row: tuple) -> None:
+        key = tuple(canon(row[i]) for i in self.order)
+        self.n += 1
+        if self.counter is not None:
+            self.counter[key] += 1
+            if self.n > _HASH_PROMOTE:
+                for k, c in self.counter.items():
+                    self.hashsum = (self.hashsum + c * _rowhash(k)) % (1 << 128)
+                self.counter = None
+        else:
+            self.hashsum = (self.hashsum + _rowhash(key)) % (1 << 128)
+
+    def matches(self, other: "RowDigest") -> bool:
+        if self.n != other.n:
+            return False
+        if self.counter is not None and other.counter is not None:
+            return self.counter == other.counter
+        for d in (self, other):
+            if d.counter is not None:
+                for k, c in d.counter.items():
+                    d.hashsum = (d.hashsum + c * _rowhash(k)) % (1 << 128)
+                d.counter = None
+        return self.hashsum == other.hashsum
+
+
 def canon_spark_type(t: str) -> str:
     t = t.lower()
     if t.startswith("array<") and t.endswith(">"):
@@ -132,27 +190,53 @@ def main() -> int:
         try:
             sdf = q.fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
             continue
         if q.oracle is None:
-            print(f"ok   {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
-            if len(srows) == 0:
+            try:
+                n_spark = len(sdf.collect())
+            except Exception:
+                print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+                failures.append(name)
+                continue
+            print(f"ok   {name}: rows-only, {n_spark} rows ({time.time()-t0:.1f}s)")
+            if n_spark == 0:
                 print(f"WARN {name}: 0 rows")
             continue
+        # oracle first, streamed — its row count decides whether the
+        # Spark side may collect() (exact Counter + diff diagnostics)
+        # or must stream through toLocalIterator (digest mode)
         try:
             res = con.execute(q.oracle)
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odig = RowDigest(ocols)
+            while True:
+                chunk = res.fetchmany(100_000)
+                if not chunk:
+                    break
+                for r in chunk:
+                    odig.add_row(r)
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failures.append(name)
             continue
+        try:
+            sdig = RowDigest(scols)
+            if odig.n > _HASH_PROMOTE:
+                for r in sdf.toLocalIterator(prefetchPartitions=True):
+                    sdig.add_row(tuple(r))
+            else:
+                for r in sdf.collect():
+                    sdig.add_row(tuple(r))
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sdig.n != odig.n:
+            problems.append(f"rowcount spark={sdig.n} oracle={odig.n}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
         else:
@@ -165,10 +249,9 @@ def main() -> int:
                 a, b = canon_spark_type(st), canon_duck_type(otypes.get(col, "?"))
                 if a != b:
                     problems.append(f"dtype {col}: spark={st} oracle={otypes.get(col)}")
-        if not problems:
-            sset = rowset(scols, srows)
-            oset = rowset(ocols, orows)
-            if sset != oset:
+        if not problems and not sdig.matches(odig):
+            if sdig.counter is not None and odig.counter is not None:
+                sset, oset = sdig.counter, odig.counter
                 extra_s = sorted(
                     (sset - oset).elements(), key=lambda r: tuple(str(x) for x in r)
                 )[:3]
@@ -178,12 +261,15 @@ def main() -> int:
                 problems.append(
                     f"values differ; spark-only: {extra_s} oracle-only: {extra_o}"
                 )
+            else:
+                problems.append("values differ (hash-digest mode, no row diff)")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
         else:
-            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
-            if len(srows) == 0:
+            mode = "" if sdig.counter is not None else ", digest"
+            print(f"ok   {name}: {sdig.n} rows match ({time.time()-t0:.1f}s{mode})")
+            if sdig.n == 0:
                 print(f"WARN {name}: 0 rows")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} queries pass")
