@@ -816,3 +816,104 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("total")).alias("share"),
         (F.col("n").cast("double") * F.col("n_keys") / F.col("total")).alias("x_avg"),
     )
+
+
+_GINI_BUCKETS = 64
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders GROUP BY 1
+    ),
+    vals AS (
+        SELECT x, COUNT(*) AS c FROM spend GROUP BY x
+    ),
+    pre AS (
+        SELECT x, c,
+               COALESCE(SUM(c) OVER (
+                   ORDER BY x ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS r
+        FROM vals
+    ),
+    terms AS (
+        SELECT CAST(SUM(x * (c * r + ((c * (c + 1)) // 2))) AS DECIMAL(38,2)) AS s1,
+               CAST(SUM(x * c) AS DECIMAL(38,2)) AS s0,
+               CAST(SUM(c) AS BIGINT) AS n
+        FROM pre
+    )
+    SELECT n,
+           CAST(s0 AS DOUBLE) AS total_spend,
+           2.0 * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE))
+               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM terms
+    """,
+    tags=("stats", "gini", "inequality"),
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of customer spend — the concentration /
+    inequality statistic behind "how top-heavy is this revenue (or token
+    budget, or corpus source mix)" reporting. G = 2·Σᵢ i·xᵢ / (n·Σx)
+    − (n+1)/n over ascending-sorted spend.
+
+    The rank-weighted sum is the interesting part at scale: the textbook
+    form needs a GLOBAL sort + row_number (one partition holds
+    everything). Here ties collapse first (per-distinct-value count c),
+    each value's rank block contributes the closed form
+    x·(c·r + c(c+1)/2) where r is the count of strictly-smaller values —
+    and r comes from the same distributed two-level prefix sum as
+    stats_ks (width_bucket range partitioning + per-bucket windows +
+    bounded offset table). Σᵢ i·xᵢ is invariant under tie order, so the
+    closed form is exact. Every sum is an exact DECIMAL (order- and
+    partitioning-insensitive); the final expression is four IEEE ops on
+    engine-identically converted doubles (dec_to_double). Scale shape:
+    one spend shuffle, one distinct-value count shuffle, bounded-window
+    prefix — no global sort anywhere."""
+    from data_bridge_spark.functions.exact import dec_to_double
+
+    t = Tables(spark, sf_dir)
+    spend = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    vals = spend.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    rng = vals.agg(
+        F.min(F.col("x").cast("double")).alias("vmin"),
+        F.max(F.col("x").cast("double")).alias("vmax"),
+    )
+    bucketed = vals.crossJoin(F.broadcast(rng)).withColumn(
+        "bucket",
+        F.width_bucket(F.col("x").cast("double"), "vmin", "vmax", F.lit(_GINI_BUCKETS)),
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy(F.col("x").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = bucketed.withColumn(
+        "lr", F.coalesce(F.sum("c").over(in_bucket), F.lit(0))
+    )
+    btot = bucketed.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    prior = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket", F.coalesce(F.sum("bc").over(prior), F.lit(0)).alias("off")
+    )
+    ranked = local.join(F.broadcast(offsets), "bucket").withColumn(
+        "r", F.col("off") + F.col("lr")
+    )
+    w = F.col("c") * F.col("r") + F.shiftright(F.col("c") * (F.col("c") + 1), 1)
+    terms = ranked.agg(
+        F.sum(F.col("x") * w).cast("decimal(38,2)").alias("s1"),
+        F.sum(F.col("x") * F.col("c")).cast("decimal(38,2)").alias("s0"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    return terms.select(
+        "n",
+        dec_to_double(F.col("s0"), scale=2).alias("total_spend"),
+        (
+            F.lit(2.0) * dec_to_double(F.col("s1"), scale=2) / (nd * dec_to_double(F.col("s0"), scale=2))
+            - (nd + F.lit(1.0)) / nd
+        ).alias("gini"),
+    )

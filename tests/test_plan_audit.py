@@ -38,6 +38,7 @@ ALLOW: dict[str, str] = {
     "text_term_lift": "scalar-edge cross join vs the 1-row grand-total token count (broadcast side is O(1))",
     "agg_benford": "scalar-edge cross join vs the 1-row digit-count total over a 9-row table (broadcast side is O(1))",
     "profile_skew": "scalar-edge cross join vs the 1-row (total, n_keys) aggregate against the top-k survivor set (broadcast side is O(1))",
+    "agg_gini": "distributed-CDF prefix sum (stats_ks pattern): cross join vs the 1-row (min,max) aggregate (broadcast side is O(1)); per-bucket windows + bounded offset table replace the global sort the textbook Gini needs",
 }
 
 
