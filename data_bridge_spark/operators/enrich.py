@@ -745,3 +745,80 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / smaller.cast("double")).alias("containment"),
         )
     )
+
+
+_XSRC_T = 0.5
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH {_bands_sql()},
+    {_pairs_sql()},
+    verified AS (
+        SELECT c.id_a, c.id_b, da.source AS source_a, db.source AS source_b
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.id_a
+        JOIN documents db ON db.doc_id = c.id_b
+        WHERE CAST(len(list_filter(
+                      list_distinct(string_split(LOWER(da.text), ' ')),
+                      w -> list_contains(list_distinct(string_split(LOWER(db.text), ' ')), w)
+                  )) AS DOUBLE)
+              / len(list_distinct(string_split(LOWER(da.text), ' ')
+                    || string_split(LOWER(db.text), ' '))) >= {_XSRC_T}
+    )
+    SELECT LEAST(source_a, source_b) AS src_lo,
+           GREATEST(source_a, source_b) AS src_hi,
+           COUNT(*) AS n_pairs,
+           CAST(COUNT(CASE WHEN source_a = source_b THEN 1 END) AS BIGINT) AS n_within
+    FROM verified
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "corpus", "report"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: verified near-dup pairs counted
+    per unordered source pair — the report that says WHICH crawl slices
+    duplicate each other (two mirrors of the same site, a re-crawl that
+    should be dropped wholesale, a source that is mostly copies of
+    another). Source-level decisions (drop / merge / down-weight a whole
+    source) need this aggregate view, not the per-pair list.
+
+    Plan shape: dedup_verified_pairs' candidate→verify chain (cost
+    O(LSH candidates), never corpus²), then two doc_id equi-joins carry
+    only the source label, and the matrix aggregation is bounded by
+    |sources|² cells regardless of corpus size. The unordered (lo, hi)
+    key folds both pair directions into one cell."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "source",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("words"),
+    )
+    pairs = lsh_candidate_pairs(t.documents)
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"),
+        F.col("words").alias("words_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"),
+        F.col("words").alias("words_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("words_a"), F.col("words_b")))
+    union = F.size(F.array_union(F.col("words_a"), F.col("words_b")))
+    verified = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .where((inter.cast("double") / union) >= _XSRC_T)
+    )
+    return (
+        verified.select(
+            F.least("source_a", "source_b").alias("src_lo"),
+            F.greatest("source_a", "source_b").alias("src_hi"),
+            (F.col("source_a") == F.col("source_b")).cast("int").alias("within"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("within").cast("bigint").alias("n_within"),
+        )
+    )
