@@ -688,3 +688,37 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "sample_importance",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           LEAST(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS keep_p
+    FROM documents
+    WHERE CAST(CAST(('0x' || substr(MD5('importance-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS DOUBLE)
+          < LEAST(1.0, CAST(n_chars AS DOUBLE) / 400.0) * 100.0
+    """,
+    tags=("mlprep", "sample", "importance"),
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance-weighted downsampling: each doc is kept
+    with probability proportional to a per-doc weight (here a capped
+    length score, LEAST(1, n_chars/400) — substitute any quality model
+    score), decided by comparing the doc's content-hash percentile to
+    its own weight. The quality-weighted Bernoulli every curation
+    pipeline runs ("keep long/high-quality docs, thin the rest") — but
+    with zero RNG: the decision is a pure function of (seed, doc_id,
+    weight), so re-runs, retries, engines, and partitionings all keep
+    the SAME docs, and an incrementally added doc's fate never depends
+    on corpus order (randomSplit/rand() give none of this).
+
+    Plan shape: per-row hash + compare, zero shuffles, fully
+    whole-stage-codegen; the weight expression and the threshold
+    comparison are IEEE ops on exact integers in both engines."""
+    t = Tables(spark, sf_dir)
+    w = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(400.0))
+    pct = _hash_pct(F.col("doc_id"), "importance-v1").cast("double")
+    return t.documents.where(pct < w * 100.0).select(
+        "doc_id", "n_chars", w.alias("keep_p")
+    )
