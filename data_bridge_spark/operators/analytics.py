@@ -18,15 +18,25 @@ from data_bridge_spark.functions.exact import dec_to_double, dsum
 from data_bridge_spark.registry import register
 
 
+# keyspan for the argmin/argmax tiebreak composite: orderkey must stay
+# below it (holds to a 1000-shard key-shifted upscale); price-cents
+# (≤ 5e7) × span + key ≤ 5e17 stays inside int64
+_ARG_KEYSPAN = 10_000_000_000
+
+
 @register(
     "agg_misc",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
            BOOL_AND(o_totalprice > 0) AS all_positive,
            BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
-           ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
-           ARG_MAX(o_orderkey, o_totalprice) AS priciest_order
+           ARG_MIN(o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * {_ARG_KEYSPAN} + o_orderkey) AS cheapest_order,
+           ARG_MAX(o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * {_ARG_KEYSPAN} + o_orderkey) AS priciest_order
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -34,16 +44,22 @@ from data_bridge_spark.registry import register
 )
 def agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/boolean/argmin-style aggregates: count_if, bool_and/or,
-    min_by/max_by (DuckDB arg_min/arg_max). min_by ties broken by nothing
-    here — o_totalprice values are distinct-enough per group; a production
-    pipeline adds an explicit tiebreak column."""
+    min_by/max_by (DuckDB arg_min/arg_max). The argmin/argmax ordering is
+    a composite exact integer (price-cents × keyspan + orderkey), so TIED
+    prices resolve to a deterministic orderkey in both engines — the sf1
+    key-shifted decade replicates every price across shards, which turned
+    the previous bare-price ordering into an engine-dependent coin flip
+    (caught by the round-6 full sf1 sweep; the old docstring's "values
+    are distinct-enough" held only below that scale)."""
     t = Tables(spark, sf_dir)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    composite = cents * F.lit(_ARG_KEYSPAN) + F.col("o_orderkey")
     return t.orders.groupBy("o_orderstatus").agg(
         F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", composite).alias("cheapest_order"),
+        F.max_by("o_orderkey", composite).alias("priciest_order"),
     )
 
 
