@@ -253,3 +253,18 @@ def test_scaling_curve_subset_is_registered():
     spec.loader.exec_module(mod)
     missing = [n for n in mod.SUBSET if n not in REG]
     assert not missing, f"scaling_curve SUBSET names not in registry: {missing}"
+
+
+def test_prefix_sum_ops_partitioning_invariant(spark, sf_dir):
+    """stats_ks and agg_gini replace global ordered windows with a
+    bucketed two-level prefix sum — their outputs must be bit-identical
+    under different shuffle partitioning (the engine's determinism
+    doctrine applied to the distributed-CDF machinery)."""
+    for name in ("stats_ks", "agg_gini"):
+        fn = REG[name].fn
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        a = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        assert sorted(map(repr, a)) == sorted(map(repr, b)), name
