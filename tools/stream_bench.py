@@ -77,6 +77,7 @@ def main() -> None:
     from data_bridge_spark.session import get_spark
     from data_bridge_spark.streaming.stateful import stream_holt
     from data_bridge_spark.streaming.windows import (
+        stream_dedup,
         stream_tumbling_counts,
         stream_upsert_to_lake,
     )
@@ -125,6 +126,15 @@ def main() -> None:
         .writeStream.outputMode("update")
         .format("noop")
         .option("checkpointLocation", os.path.join(work, "ckpt_tumbling"))
+        .trigger(availableNow=True)
+        .start(),
+    )
+    run(
+        "stream_dedup_exact",
+        lambda: stream_dedup(source())
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", os.path.join(work, "ckpt_dedup"))
         .trigger(availableNow=True)
         .start(),
     )
