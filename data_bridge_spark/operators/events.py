@@ -381,3 +381,86 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur", "nxt", "n",
         (F.col("n").cast("double") / denom.cast("double")).alias("p"),
     )
+
+
+_FW_SECONDS = 1800  # per-step conversion window (30 min)
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL {_FW_SECONDS} SECONDS
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL {_FW_SECONDS} SECONDS
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS funnel_stage,
+           v.t1 AS anchor_view, c.t2 AS click_in_window, p.t3 AS purchase_in_window
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("events", "funnel", "window"),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: view → click → purchase where each next
+    step must land within {_FW_SECONDS} s of the previous one — the
+    product-analytics form ("did the click happen within 30 minutes of
+    the view, and the purchase within 30 minutes of the click"), with
+    the standard anchored semantics: the window chains from the user's
+    FIRST view, then from the first in-window click. events_funnel is
+    the unwindowed twin (any-time completion); the bounded windows here
+    are what separate "this flow converts" from "they came back a week
+    later anyway".
+
+    Plan shape identical to events_funnel — three hash aggregations +
+    two left joins all on user_id, one partitioning serving the whole
+    chain; the window caps are pure per-row predicates inside the
+    already-filtered step scans."""
+    t = Tables(spark, sf_dir)
+    win = F.expr(f"INTERVAL {_FW_SECONDS} SECONDS")
+    ev = t.events.select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("funnel_stage"),
+            F.col("t1").alias("anchor_view"),
+            F.col("t2").alias("click_in_window"),
+            F.col("t3").alias("purchase_in_window"),
+        )
+    )

@@ -375,3 +375,88 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h.cast("decimal(38,0)")).cast("string").alias("checksum"),
     )
+
+
+_PIT_SPLIT = "1996-07-01"  # mid-range of o_orderdate: versions change here
+
+
+@register(
+    "join_point_in_time",
+    oracle=f"""
+    WITH versions AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               DATE '1992-01-01' AS valid_from, DATE '{_PIT_SPLIT}' AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 'MACHINERY'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               ROUND(c_acctbal + 100.0, 2) AS c_acctbal,
+               DATE '{_PIT_SPLIT}' AS valid_from, DATE '9999-12-31' AS valid_to
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               DATE '{_PIT_SPLIT}' AS valid_from, DATE '9999-12-31' AS valid_to
+        FROM customer WHERE c_custkey % 7 <> 0
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           v.c_mktsegment AS segment_at_order, v.c_acctbal AS acctbal_at_order
+    FROM orders o
+    JOIN versions v
+      ON v.c_custkey = o.o_custkey
+     AND CAST(o.o_orderdate AS DATE) >= v.valid_from
+     AND CAST(o.o_orderdate AS DATE) <  v.valid_to
+    """,
+    tags=("warehouse", "scd2", "asof", "feature-store"),
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: each fact row joined to the dimension
+    VERSION that was valid at the fact's own timestamp — the
+    feature-store correctness primitive (training features must reflect
+    what was known at event time; joining the current dim silently leaks
+    the future into training data). The versioned dim here is the SCD2
+    construction (scd2_merge) with a mid-history change date so both
+    sides of the validity split are exercised.
+
+    Plan shape: an EQUI-join on the entity key carries the work
+    (hash-partitionable; AQE skew-splits hot keys), with the validity
+    range as a residual predicate evaluated inside the join — per key
+    the version count is small (SCD2 version chains), so the residual
+    scan is O(versions-per-key), never an interval BNLJ. This is the
+    standard PIT shape at any scale: facts shuffle once on the key,
+    versions shuffle once on the key, nothing explodes."""
+    t = Tables(spark, sf_dir)
+    base = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    split = F.lit(_PIT_SPLIT).cast("date")
+    openend = F.lit("9999-12-31").cast("date")
+    v1 = base.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.lit("1992-01-01").cast("date").alias("valid_from"), split.alias("valid_to"),
+    )
+    changed = base.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", "MACHINERY")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        split.alias("valid_from"), openend.alias("valid_to"),
+    )
+    kept = base.where(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        split.alias("valid_from"), openend.alias("valid_to"),
+    )
+    versions = v1.unionByName(changed).unionByName(kept)
+    od = F.col("o_orderdate").cast("date")
+    return (
+        t.orders.join(
+            versions,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (od >= F.col("valid_from"))
+            & (od < F.col("valid_to")),
+        )
+        .select(
+            "o_orderkey", "o_custkey", "o_orderdate",
+            F.col("c_mktsegment").alias("segment_at_order"),
+            F.col("c_acctbal").alias("acctbal_at_order"),
+        )
+    )
