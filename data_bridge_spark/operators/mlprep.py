@@ -722,3 +722,73 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.where(pct < w * 100.0).select(
         "doc_id", "n_chars", w.alias("keep_p")
     )
+
+
+_BUDGET_TOKENS = 1_000_000  # planning target for the quota report
+
+
+@register(
+    "corpus_token_budget_plan",
+    oracle=f"""
+    WITH cells AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) AS DECIMAL(18,6)) AS w_d
+        FROM cells
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(w_d AS DOUBLE) / CAST(SUM(w_d) OVER () AS DOUBLE) AS p_mix,
+           CAST(FLOOR(
+               {_BUDGET_TOKENS} * (CAST(w_d AS DOUBLE) / CAST(SUM(w_d) OVER () AS DOUBLE))
+               / (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           ) AS BIGINT) AS quota_docs,
+           CAST(FLOOR(
+               {_BUDGET_TOKENS} * (CAST(w_d AS DOUBLE) / CAST(SUM(w_d) OVER () AS DOUBLE))
+               / (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           ) AS BIGINT) > n_docs AS needs_repeat
+    FROM powed
+    """,
+    tags=("corpus", "mlprep", "planning"),
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget plan: turn temperature mixture weights
+    (mix_temperature_weights' n^alpha flattening, per source) plus a
+    global token budget into per-source DOCUMENT quotas — the planning
+    artifact a pretraining run materializes before sampling (quota =
+    budget·p_mix / avg-tokens-per-doc, with a needs_repeat flag when a
+    small source's quota exceeds its corpus — the "epochs over
+    high-quality sources" signal). corpus_quota_sample then materializes
+    a quota with hash-order determinism; this op computes WHAT the
+    quotas should be.
+
+    Determinism: same doctrine as mix_temperature_weights — the one
+    libm call (POW) is quantized to DECIMAL(18,6) before any
+    cross-engine arithmetic, the normalizer sums exact decimals, and
+    everything after is IEEE divisions of exact counts in a fixed
+    expression tree. One token-count shuffle; the window runs on the
+    |sources|-row cell table."""
+    t = Tables(spark, sf_dir)
+    cells = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    powed = cells.select(
+        "source", "n_docs", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))
+        .cast("decimal(18,6)")
+        .alias("w_d"),
+    )
+    p_mix = F.col("w_d").cast("double") / F.sum("w_d").over(Window.partitionBy()).cast("double")
+    avg_tok = F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")
+    quota = F.floor(F.lit(float(_BUDGET_TOKENS)) * p_mix / avg_tok).cast("bigint")
+    return powed.select(
+        "source", "n_docs", "n_tokens",
+        p_mix.alias("p_mix"),
+        quota.alias("quota_docs"),
+        (quota > F.col("n_docs")).alias("needs_repeat"),
+    )
