@@ -917,3 +917,29 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (nd + F.lit(1.0)) / nd
         ).alias("gini"),
     )
+
+
+@register(
+    "profile_skew_approx",
+    oracle=None,  # sketch estimates are engine-specific → rows-only + pytest gate
+    tags=("profile", "skew", "approx", "sketch"),
+)
+def profile_skew_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items SKETCH twin of profile_skew: approx_top_k over the
+    event user stream — the 100 TB path for heavy-hitter detection when
+    even the per-key count table is too hot to materialize (the sketch
+    is constant-memory and mergeable across partitions, the same
+    scale contract as HLL for distinct counts and t-digest for
+    quantiles; this completes the classic sketch trio). Rows-only by
+    design (sketch internals are engine-specific); pytest gates the
+    estimates against the exact per-key counts (count accuracy + heavy-
+    hitter recovery), mirroring agg_approx_distinct's 3x-rsd gate."""
+    t = Tables(spark, sf_dir)
+    top = t.events.agg(
+        F.expr(f"approx_top_k(user_id, {_SKEW_TOPK}, 100000)").alias("top")
+    )
+    return top.select(F.posexplode("top").alias("pos", "entry")).select(
+        (F.col("pos") + 1).alias("rank"),
+        F.col("entry.item").alias("user_id"),
+        F.col("entry.count").alias("n_approx"),
+    )

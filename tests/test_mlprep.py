@@ -268,3 +268,23 @@ def test_prefix_sum_ops_partitioning_invariant(spark, sf_dir):
         b = [tuple(r) for r in fn(spark, sf_dir).collect()]
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         assert sorted(map(repr, a)) == sorted(map(repr, b)), name
+
+
+def test_profile_skew_approx_tracks_exact_counts(spark, sf_dir):
+    """The frequent-items sketch must recover true heavy hitters: every
+    returned estimate within 5% of the exact count, and the returned
+    set's worst exact count at least 80% of the true k-th count."""
+    rows = REG["profile_skew_approx"].fn(spark, sf_dir).collect()
+    assert rows
+    exact = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for r in rows:
+        assert abs(r.n_approx - exact[r.user_id]) <= max(1, 0.05 * exact[r.user_id])
+    kth = sorted(exact.values(), reverse=True)[: len(rows)][-1]
+    assert min(exact[r.user_id] for r in rows) >= 0.8 * kth
