@@ -753,3 +753,85 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
+
+
+@register(
+    "ts_anomaly_resid",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               list(event_id ORDER BY ts, event_id) AS ids,
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT user_id, ids,
+               list_reduce(
+                 [[vals[1]]] || list_transform(vals[2:], x -> [x]),
+                 (acc, x) -> [acc[1]*0.75 + x[1]*0.25] || acc[2:] || [x[1] - acc[1]]
+               ) AS st
+        FROM s WHERE len(vals) >= 2
+    ),
+    e AS (
+        SELECT user_id, ids[i+1] AS event_id, st[i+1] AS resid
+        FROM r, unnest(generate_series(1, len(st) - 1)) AS t(i)
+    ),
+    m AS (
+        SELECT user_id, MEDIAN(ABS(resid)) AS mad FROM e GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, e.resid,
+           e.resid / NULLIF(1.4826 * m.mad, 0) AS score
+    FROM e JOIN m USING (user_id)
+    WHERE ABS(e.resid) > 3.0 * 1.4826 * m.mad
+    """,
+    tags=("timeseries", "anomaly", "sequential"),
+)
+def ts_anomaly_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-based anomaly detection: one-step-ahead EWMA forecast
+    residuals (resid_i = x_i − ewma_{i−1}, alpha = 0.25) flagged where
+    |resid| exceeds 3 robust sigmas of the user's own residual
+    distribution (MAD·1.4826) — catches level SHIFTS and spikes that
+    distribution-based detectors (anomaly_iqr / anomaly_mad) miss
+    because a trending series' raw values are all "normal".
+
+    The residual sequence rides the same bit-deterministic sorted-array
+    fold as ts_ewma, extended to carry the residual trail: the fold
+    accumulator is [ewma] ++ residuals, with the identical IEEE
+    expression DAG on both engines (residual uses the PRE-update ewma
+    in both). MAD is pure selection (no float sums), the score one
+    guarded division. One shuffle on user_id for the fold, one for the
+    per-user MAD of the (already tiny) residual rows."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    )
+    srt = F.array_sort(F.collect_list(F.struct("ts", "event_id", "v")))
+    per = ev.groupBy("user_id").agg(
+        F.transform(srt, lambda s: s["event_id"]).alias("ids"),
+        F.transform(srt, lambda s: s["v"]).alias("vals"),
+    ).where(F.size("vals") >= 2)
+    resids = F.expr(
+        """aggregate(
+             slice(vals, 2, size(vals) - 1),
+             struct(vals[0] AS e, CAST(array() AS array<double>) AS r),
+             (acc, x) -> struct(acc.e * 0.75D + x * 0.25D,
+                                concat(acc.r, array(x - acc.e))),
+             acc -> acc.r
+           )"""
+    )
+    e = per.select(
+        "user_id",
+        F.explode(F.arrays_zip(F.slice("ids", 2, F.size("ids") - 1).alias("event_id"),
+                               resids.alias("resid"))).alias("z"),
+    ).select("user_id", F.col("z.event_id").alias("event_id"), F.col("z.resid").alias("resid"))
+    m = e.groupBy("user_id").agg(
+        F.percentile(F.abs(F.col("resid")), F.lit(0.5)).alias("mad")
+    )
+    scored = e.join(m, "user_id")
+    score = F.when(
+        F.lit(1.4826) * F.col("mad") != 0,
+        F.col("resid") / (F.lit(1.4826) * F.col("mad")),
+    )
+    return scored.where(
+        F.abs(F.col("resid")) > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    ).select("user_id", "event_id", "resid", score.alias("score"))
