@@ -146,12 +146,10 @@ def main() -> None:
     # each sample still creates and pays for its own blocks. The
     # unpersist is blocking so cleanup can't bleed into the next timed
     # sample (it runs outside the timed region).
+    from data_bridge_spark.session import drop_dead_blocks as _ddb
+
     def _drop_dead_blocks() -> None:
-        try:
-            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-                rdd.unpersist(True)
-        except Exception:
-            spark.catalog.clearCache()
+        _ddb(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

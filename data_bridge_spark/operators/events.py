@@ -418,7 +418,7 @@ _FW_SECONDS = 1800  # per-step conversion window (30 min)
     tags=("events", "funnel", "window"),
 )
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversion-window funnel: view → click → purchase where each next
+    f"""Conversion-window funnel: view → click → purchase where each next
     step must land within {_FW_SECONDS} s of the previous one — the
     product-analytics form ("did the click happen within 30 minutes of
     the view, and the purchase within 30 minutes of the click"), with

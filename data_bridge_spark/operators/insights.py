@@ -581,6 +581,69 @@ _KS_A, _KS_B = "purchase", "click"
 _KS_BUCKETS = 64
 
 
+def _bucketed_prefix_sums(
+    df: DataFrame,
+    value_col: str,
+    count_cols: tuple[str, ...],
+    n_buckets: int = _KS_BUCKETS,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed two-level prefix sum: for each row of ``df`` (one row
+    per DISTINCT ``value_col``), append ``run_<c>`` = the cumulative sum
+    of each count column over rows ordered by ``value_col`` (inclusive
+    of the current row, or strictly-prior with ``inclusive=False``) —
+    WITHOUT a global ordered window (which would drag every distinct
+    value onto one partition). Rows are range-bucketed by width_bucket
+    over the broadcast (min, max) scalar, running sums run per bucket
+    in parallel, and per-bucket offsets come from an ``n_buckets``-row
+    total table whose own running sum is trivially bounded. Every
+    per-row cumulative value is identical to the single-partition
+    formulation for ANY partitioning.
+
+    Degenerate edge: width_bucket returns NULL when min == max — and it
+    does so UNIFORMLY (only when every value is the same), so the
+    coalesce to bucket 1 is the single-bucket case, never a mix of real
+    and null buckets. Shared by stats_ks and agg_gini."""
+    vd = F.col(value_col).cast("double")
+    rng = df.agg(F.min(vd).alias("_vmin"), F.max(vd).alias("_vmax"))
+    bucketed = (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "_bucket",
+            F.coalesce(
+                F.width_bucket(vd, "_vmin", "_vmax", F.lit(n_buckets)), F.lit(1)
+            ),
+        )
+        .drop("_vmin", "_vmax")
+    )
+    end = Window.currentRow if inclusive else -1
+    in_bucket = Window.partitionBy("_bucket").orderBy(F.col(value_col).asc()).rowsBetween(
+        Window.unboundedPreceding, end
+    )
+    local = bucketed
+    for c in count_cols:
+        local = local.withColumn(
+            f"_l_{c}", F.coalesce(F.sum(c).over(in_bucket), F.lit(0))
+        )
+    btot = bucketed.groupBy("_bucket").agg(
+        *[F.sum(c).alias(f"_b_{c}") for c in count_cols]
+    )
+    prior = Window.orderBy(F.col("_bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "_bucket",
+        *[
+            F.coalesce(F.sum(f"_b_{c}").over(prior), F.lit(0)).alias(f"_o_{c}")
+            for c in count_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "_bucket")
+    for c in count_cols:
+        out = out.withColumn(f"run_{c}", F.col(f"_o_{c}") + F.col(f"_l_{c}"))
+    return out.drop("_bucket", *[f"_l_{c}" for c in count_cols], *[f"_o_{c}" for c in count_cols])
+
+
 @register(
     "stats_ks",
     oracle=f"""
@@ -648,33 +711,14 @@ def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = s.groupBy("v").agg(
         F.sum("is_a").alias("na_v"), F.sum(1 - F.col("is_a")).alias("nb_v")
     )
-    rng = per_v.agg(
-        F.min("v").alias("vmin"), F.max("v").alias("vmax"),
-        F.sum("na_v").cast("double").alias("na"), F.sum("nb_v").cast("double").alias("nb"),
+    tot = per_v.agg(
+        F.sum("na_v").cast("double").alias("na"),
+        F.sum("nb_v").cast("double").alias("nb"),
     )
-    bucketed = per_v.crossJoin(F.broadcast(rng)).withColumn(
-        "bucket", F.width_bucket("v", "vmin", "vmax", F.lit(_KS_BUCKETS))
-    )
-    in_bucket = Window.partitionBy("bucket").orderBy(F.col("v").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    local = bucketed.withColumn("la", F.sum("na_v").over(in_bucket)).withColumn(
-        "lb", F.sum("nb_v").over(in_bucket)
-    )
-    btot = bucketed.groupBy("bucket").agg(
-        F.sum("na_v").alias("ba"), F.sum("nb_v").alias("bb")
-    )
-    prior = Window.orderBy(F.col("bucket").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = btot.select(
-        "bucket",
-        F.coalesce(F.sum("ba").over(prior), F.lit(0)).alias("oa"),
-        F.coalesce(F.sum("bb").over(prior), F.lit(0)).alias("ob"),
-    )
-    cdf = local.join(F.broadcast(offsets), "bucket").select(
-        ((F.col("oa") + F.col("la")).cast("double") / F.col("na")).alias("fa"),
-        ((F.col("ob") + F.col("lb")).cast("double") / F.col("nb")).alias("fb"),
+    run = _bucketed_prefix_sums(per_v, "v", ("na_v", "nb_v"))
+    cdf = run.crossJoin(F.broadcast(tot)).select(
+        (F.col("run_na_v").cast("double") / F.col("na")).alias("fa"),
+        (F.col("run_nb_v").cast("double") / F.col("nb")).alias("fb"),
         "na", "nb",
     )
     crit = F.lit(1.358) * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
@@ -786,7 +830,7 @@ _SKEW_TOPK = 20
     tags=("profile", "skew", "quality"),
 )
 def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-key skew profile: the top-{_SKEW_TOPK} heaviest lineitem join
+    f"""Join-key skew profile: the top-{_SKEW_TOPK} heaviest lineitem join
     keys with each key's share of all rows and its multiple of the mean
     key depth (x_avg) — the report that decides whether a fact-fact join
     needs salting / AQE skew-split BEFORE the job runs at 100 TB (a key
@@ -878,30 +922,9 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
     vals = spend.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
-    rng = vals.agg(
-        F.min(F.col("x").cast("double")).alias("vmin"),
-        F.max(F.col("x").cast("double")).alias("vmax"),
-    )
-    bucketed = vals.crossJoin(F.broadcast(rng)).withColumn(
-        "bucket",
-        F.width_bucket(F.col("x").cast("double"), "vmin", "vmax", F.lit(_GINI_BUCKETS)),
-    )
-    in_bucket = Window.partitionBy("bucket").orderBy(F.col("x").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    local = bucketed.withColumn(
-        "lr", F.coalesce(F.sum("c").over(in_bucket), F.lit(0))
-    )
-    btot = bucketed.groupBy("bucket").agg(F.sum("c").alias("bc"))
-    prior = Window.orderBy(F.col("bucket").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = btot.select(
-        "bucket", F.coalesce(F.sum("bc").over(prior), F.lit(0)).alias("off")
-    )
-    ranked = local.join(F.broadcast(offsets), "bucket").withColumn(
-        "r", F.col("off") + F.col("lr")
-    )
+    ranked = _bucketed_prefix_sums(
+        vals, "x", ("c",), n_buckets=_GINI_BUCKETS, inclusive=False
+    ).withColumnRenamed("run_c", "r")
     w = F.col("c") * F.col("r") + F.shiftright(F.col("c") * (F.col("c") + 1), 1)
     terms = ranked.agg(
         F.sum(F.col("x") * w).cast("decimal(38,2)").alias("s1"),

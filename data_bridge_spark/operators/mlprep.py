@@ -493,6 +493,21 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_ALPHA = 0.7  # temperature exponent: p_i ∝ n_i^alpha flattens big sources
 
 
+def _quantized_temp_weight(n_col: str = "n_docs") -> F.Column:
+    """n^alpha as the cross-engine-safe weight: POW is a libm call whose
+    last ulp can differ between engines, so the raw weight is quantized
+    to DECIMAL(18,6) BEFORE any cross-engine arithmetic (see
+    mix_temperature_weights' docstring for why a direct cast, not
+    ROUND). Shared by mix_temperature_weights and
+    corpus_token_budget_plan so the determinism doctrine lives once."""
+    return (
+        F.pow(F.col(n_col).cast("double"), F.lit(_MIX_ALPHA)).cast("decimal(18,6)")
+    )
+
+
+_TEMP_W_SQL = f"CAST(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) AS DECIMAL(18,6))"
+
+
 @register(
     "mix_temperature_weights",
     oracle=f"""
@@ -502,7 +517,7 @@ _MIX_ALPHA = 0.7  # temperature exponent: p_i ∝ n_i^alpha flattens big sources
     ),
     powed AS (
         SELECT source, lang, n_docs,
-               CAST(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) AS DECIMAL(18,6)) AS w_raw_d
+               {_TEMP_W_SQL} AS w_raw_d
         FROM counts
     )
     SELECT source, lang, n_docs, CAST(w_raw_d AS DOUBLE) AS w_raw,
@@ -535,9 +550,7 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         "n_docs",
-        F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))
-        .cast("decimal(18,6)")
-        .alias("w_raw_d"),
+        _quantized_temp_weight().alias("w_raw_d"),
     )
     w = Window.partitionBy()
     # the normalizer sums the quantized weights as exact DECIMAL (order-
@@ -738,7 +751,7 @@ _BUDGET_TOKENS = 1_000_000  # planning target for the quota report
     ),
     powed AS (
         SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
-               CAST(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) AS DECIMAL(18,6)) AS w_d
+               {_TEMP_W_SQL} AS w_d
         FROM cells
     )
     SELECT source, n_docs, n_tokens,
@@ -779,9 +792,7 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     powed = cells.select(
         "source", "n_docs", F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))
-        .cast("decimal(18,6)")
-        .alias("w_d"),
+        _quantized_temp_weight().alias("w_d"),
     )
     p_mix = F.col("w_d").cast("double") / F.sum("w_d").over(Window.partitionBy()).cast("double")
     avg_tok = F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")

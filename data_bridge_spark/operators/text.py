@@ -431,7 +431,7 @@ _LIFT_MIN_COUNT = 3
     tags=("text", "corpus"),
 )
 def text_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most over-represented terms per source: lift = P(term | source) /
+    f"""Most over-represented terms per source: lift = P(term | source) /
     P(term) over whitespace tokens — the corpus-contrast report behind
     "what is this crawl slice actually about" curation calls (the
     log-odds-with-prior family reduced to its ratio core: lift orders

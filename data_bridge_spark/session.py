@@ -67,3 +67,16 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def drop_dead_blocks(spark: SparkSession) -> None:
+    """Blocking unpersist of every persisted RDD — long multi-query
+    drivers (selfcheck sweeps, benches) otherwise accumulate gigabytes
+    of orphaned localCheckpoint blocks whose GC pressure can wedge the
+    JVM mid-run (an r5 sweep saw a 12 s query stall 80+ minutes). One
+    shared implementation for every driver tool."""
+    try:
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(True)
+    except Exception:
+        spark.catalog.clearCache()

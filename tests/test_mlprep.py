@@ -288,3 +288,16 @@ def test_profile_skew_approx_tracks_exact_counts(spark, sf_dir):
         assert abs(r.n_approx - exact[r.user_id]) <= max(1, 0.05 * exact[r.user_id])
     kth = sorted(exact.values(), reverse=True)[: len(rows)][-1]
     assert min(exact[r.user_id] for r in rows) >= 0.8 * kth
+
+
+def test_bucketed_prefix_sum_degenerate_single_value(spark):
+    """width_bucket returns NULL when min == max; the shared prefix-sum
+    helper must coalesce that uniform case into one bucket instead of
+    dropping every row through the offsets join (review finding)."""
+    from data_bridge_spark.operators.insights import _bucketed_prefix_sums
+
+    df = spark.createDataFrame([(5.0, 2), (5.0, 3)], "v double, c long").groupBy(
+        "v"
+    ).agg(F.sum("c").alias("c"))
+    out = _bucketed_prefix_sums(df, "v", ("c",)).collect()
+    assert len(out) == 1 and out[0]["run_c"] == 5

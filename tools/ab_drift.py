@@ -45,12 +45,10 @@ def main() -> None:
     for tname in TABLE_NAMES:
         t.table(tname).write.format("noop").mode("overwrite").save()
 
+    from data_bridge_spark.session import drop_dead_blocks as _ddb
+
     def drop_dead_blocks() -> None:
-        try:
-            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-                rdd.unpersist(True)
-        except Exception:
-            spark.catalog.clearCache()
+        _ddb(spark)
 
     timings: dict[str, float] = {}
     for name in queries:

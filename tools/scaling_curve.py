@@ -54,12 +54,10 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("scaling_curve")
 
+    from data_bridge_spark.session import drop_dead_blocks as _ddb
+
     def drop_dead_blocks() -> None:
-        try:
-            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-                rdd.unpersist(True)
-        except Exception:
-            spark.catalog.clearCache()
+        _ddb(spark)
 
     # one warm pass at the smallest dir: amortize codegen out of timings
     warm = dirs[0]
@@ -83,9 +81,11 @@ def main() -> None:
 
     import math
 
-    print("\n| query | " + " | ".join(os.path.basename(d.rstrip('/')) for d in dirs)
-          + " | " + " | ".join(f"exp d{i}" for i in range(1, len(dirs))) + " |")
-    print("|" + "---|" * (len(dirs) * 2))
+    headers = [os.path.basename(d.rstrip("/")) for d in dirs] + [
+        f"exp d{i}" for i in range(1, len(dirs))
+    ]
+    print("\n| query | " + " | ".join(headers) + " |")
+    print("|" + "---|" * (len(headers) + 1))
     for name in SUBSET + ("TOTAL",):
         row = [
             sum(results[d].values()) if name == "TOTAL" else results[d][name]
@@ -95,13 +95,8 @@ def main() -> None:
             (math.log10(row[i] / row[i - 1]) if row[i - 1] > 0 else float("nan"))
             for i in range(1, len(row))
         ]
-        print(
-            f"| {name} | "
-            + " | ".join(f"{v:.2f}" for v in row)
-            + " | "
-            + " | ".join(f"{e:.2f}" for e in exps)
-            + " |"
-        )
+        cells = [f"{v:.2f}" for v in row] + [f"{e:.2f}" for e in exps]
+        print(f"| {name} | " + " | ".join(cells) + " |")
 
 
 if __name__ == "__main__":

@@ -171,16 +171,10 @@ def main() -> int:
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from data_bridge_spark.session import drop_dead_blocks as _ddb
+
     def drop_dead_blocks() -> None:
-        """Unpersist dead localCheckpoint blocks between queries — a long
-        sweep otherwise accumulates gigabytes of orphaned blocks whose GC
-        pressure can wedge the JVM mid-sweep (seen at sf0.1: a 12s query
-        stalled 80+ minutes in an r5 sweep). Blocking, like bench.py."""
-        try:
-            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-                rdd.unpersist(True)
-        except Exception:
-            spark.catalog.clearCache()
+        _ddb(spark)
 
     failures: list[str] = []
     for name in names:
@@ -228,7 +222,20 @@ def main() -> int:
                 for r in sdf.toLocalIterator(prefetchPartitions=True):
                     sdig.add_row(tuple(r))
             else:
-                for r in sdf.collect():
+                # collect() is capped one past the promote threshold: a
+                # Spark-side row explosion (the exact mega-pair class the
+                # digest mode exists for) then surfaces as a rowcount FAIL
+                # instead of OOMing the driver inside collectToPython
+                cap = max(odig.n, _HASH_PROMOTE) + 1
+                rows = sdf.limit(cap).collect()
+                if len(rows) >= cap:
+                    print(
+                        f"FAIL {name}: rowcount spark>={cap} (collect capped) "
+                        f"oracle={odig.n}"
+                    )
+                    failures.append(name)
+                    continue
+                for r in rows:
                     sdig.add_row(tuple(r))
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
