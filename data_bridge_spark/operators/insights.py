@@ -668,10 +668,10 @@ def _bucketed_prefix_sums(
     )
     SELECT CAST(t.na AS BIGINT) AS n_a,
            CAST(t.nb AS BIGINT) AS n_b,
-           MAX(ABS(c.ra / t.na - c.rb / t.nb)) AS ks_stat,
-           1.358 * SQRT((t.na + t.nb) / (t.na * t.nb)) AS crit_05,
-           CAST(MAX(ABS(c.ra / t.na - c.rb / t.nb))
-                > 1.358 * SQRT((t.na + t.nb) / (t.na * t.nb)) AS BOOLEAN) AS reject_05
+           MAX(ABS(c.ra / NULLIF(t.na, 0) - c.rb / NULLIF(t.nb, 0))) AS ks_stat,
+           1.358 * SQRT((t.na + t.nb) / NULLIF(t.na * t.nb, 0)) AS crit_05,
+           CAST(MAX(ABS(c.ra / NULLIF(t.na, 0) - c.rb / NULLIF(t.nb, 0)))
+                > 1.358 * SQRT((t.na + t.nb) / NULLIF(t.na * t.nb, 0)) AS BOOLEAN) AS reject_05
     FROM cdf c CROSS JOIN tot t
     GROUP BY t.na, t.nb
     """,
@@ -716,12 +716,17 @@ def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nb_v").cast("double").alias("nb"),
     )
     run = _bucketed_prefix_sums(per_v, "v", ("na_v", "nb_v"))
+    # NULLIF on every denominator: if one population is empty, Spark's
+    # x/0 double yields NULL while DuckDB yields Inf/NaN — both engines
+    # must agree on NULL (same guard class as sim_recall_report)
     cdf = run.crossJoin(F.broadcast(tot)).select(
-        (F.col("run_na_v").cast("double") / F.col("na")).alias("fa"),
-        (F.col("run_nb_v").cast("double") / F.col("nb")).alias("fb"),
+        (F.col("run_na_v").cast("double") / F.nullif(F.col("na"), F.lit(0.0))).alias("fa"),
+        (F.col("run_nb_v").cast("double") / F.nullif(F.col("nb"), F.lit(0.0))).alias("fb"),
         "na", "nb",
     )
-    crit = F.lit(1.358) * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("na") + F.col("nb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    )
     return (
         cdf.groupBy("na", "nb")
         .agg(F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_stat"))

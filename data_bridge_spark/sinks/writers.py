@@ -194,6 +194,28 @@ def compact_partitioned_table(
     return n
 
 
+def _partition_leaf_rels(root: str, depth: int) -> list[str]:
+    """Relative ``col=value/.../col=value`` leaf-directory paths under a
+    Hive-layout table root, exactly as Spark wrote them (escaped names,
+    ``__HIVE_DEFAULT_PARTITION__`` for NULL). Non-partition entries
+    (_SUCCESS and friends) are skipped."""
+    out: list[str] = []
+
+    def _walk(rel: str, d: int) -> None:
+        full = os.path.join(root, rel) if rel else root
+        for entry in os.listdir(full):
+            if "=" not in entry:
+                continue
+            sub = os.path.join(rel, entry) if rel else entry
+            if d == 1:
+                out.append(sub)
+            else:
+                _walk(sub, d - 1)
+
+    _walk("", depth)
+    return out
+
+
 def emit_tombstones(
     spark,
     updates: DataFrame,
@@ -282,13 +304,22 @@ def upsert_partitioned_table(
     if not touched:
         return 0
     existing = spark.read.parquet(path)
-    if len(partition_cols) == 1:
+    # eqNullSafe so a NULL partition value (written as
+    # __HIVE_DEFAULT_PARTITION__) prunes in like any other; the isin
+    # fast path only when no NULL is present (isin never matches NULL)
+    if len(partition_cols) == 1 and not any(t[0] is None for t in touched):
         prune = F.col(partition_cols[0]).isin([t[0] for t in touched])
     else:
         prune = reduce(
             or_,
             [
-                reduce(and_, [F.col(c) == v for c, v in zip(partition_cols, t)])
+                reduce(
+                    and_,
+                    [
+                        F.col(c).eqNullSafe(F.lit(v))
+                        for c, v in zip(partition_cols, t)
+                    ],
+                )
                 for t in touched
             ],
         )
@@ -310,20 +341,7 @@ def upsert_partitioned_table(
     )
     # swap each written leaf dir (depth == len(partition_cols)) into place
     depth = len(partition_cols)
-    leaves: list[str] = []
-
-    def _walk(rel: str, d: int) -> None:
-        full = os.path.join(tmp, rel) if rel else tmp
-        for entry in os.listdir(full):
-            if "=" not in entry:
-                continue  # _SUCCESS and friends
-            sub = os.path.join(rel, entry) if rel else entry
-            if d == 1:
-                leaves.append(sub)
-            else:
-                _walk(sub, d - 1)
-
-    _walk("", depth)
+    leaves = _partition_leaf_rels(tmp, depth)
     for rel in leaves:
         src = os.path.join(tmp, rel)
         dst = os.path.join(path, rel)
@@ -335,10 +353,29 @@ def upsert_partitioned_table(
         shutil.rmtree(old, ignore_errors=True)
     # a touched partition whose merged result is EMPTY (e.g. its only row
     # was a moved key's tombstone) writes no leaf above — drop the live
-    # leaf too, or the stale row would survive the upsert
+    # leaf too, or the stale row would survive the upsert. The touched
+    # leaf names must match the on-disk layout BYTE-EXACTLY, and Spark
+    # Hive-escapes partition values (%-encoding of ':','%','=', ...),
+    # formats date/timestamp values specially, and writes NULL as
+    # __HIVE_DEFAULT_PARTITION__ — so instead of re-implementing that
+    # escaping, let Spark produce the names: write one dummy row per
+    # touched tuple partitioned the same way and walk the result (cost
+    # ∝ churned partitions, same bound as the touched collect above).
+    # built from the COLLECTED tuples, not touched_df: that lineage can
+    # read the live table (via tombstones) whose files were just swapped
+    scratch = path.rstrip("/") + "._touchedleaves"
+    part_schema = updates.select(*partition_cols).schema
+    (
+        spark.createDataFrame(touched, schema=part_schema)
+        .withColumn("__d", F.lit(1))
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(scratch)
+    )
+    touched_rels = _partition_leaf_rels(scratch, depth)
+    shutil.rmtree(scratch, ignore_errors=True)
     written = set(leaves)
-    for tup in touched:
-        rel = os.path.join(*[f"{c}={v}" for c, v in zip(partition_cols, tup)])
+    for rel in touched_rels:
         live = os.path.join(path, rel)
         if rel not in written and os.path.isdir(live):
             shutil.rmtree(live, ignore_errors=True)

@@ -167,12 +167,27 @@ def stream_to_lake(
     )
 
 
+def _orderable(dt) -> bool:
+    """True iff Spark can ORDER BY a column of this type (MapType — at
+    any nesting depth — is not orderable and throws at analysis)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def stream_upsert_to_lake(
     stream_df: DataFrame,
     path: str,
     checkpoint_dir: str,
     partition_cols: list[str],
     key_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
 ):
     """Streaming CDC apply: each micro-batch of changed rows is MERGED
     into the partitioned lake table via
@@ -187,10 +202,13 @@ def stream_upsert_to_lake(
     duplicate apply converges to the same table). Within a batch,
     duplicate keys are reduced to the latest by ts before the merge —
     upsert requires one row per key. Tie rule: two change rows for the
-    same key with EQUAL ts are broken by comparing all remaining columns
-    descending — any deterministic total order works, and this one needs
-    no extra sequence column, so a checkpoint replay of the same batch
-    picks the same winner and the idempotence contract above holds.
+    same key with EQUAL ts are broken by comparing the remaining
+    ORDERABLE columns (map-typed columns like events.props would throw
+    at analysis) in sorted-name order, descending — a deterministic
+    total order independent of the batch's physical column order, so a
+    checkpoint replay of the same batch picks the same winner and the
+    idempotence contract above holds. Pass ``tiebreak_cols`` to pin the
+    tie order explicitly instead (e.g. a CDC sequence column).
     Returns the StreamingQuery handle (availableNow: drain, then stop)."""
     from data_bridge_spark.sinks.writers import upsert_partitioned_table
 
@@ -198,9 +216,14 @@ def stream_upsert_to_lake(
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
-        tiebreak = [
-            F.col(c).desc() for c in batch_df.columns if c not in (*key_cols, "ts")
-        ]
+        if tiebreak_cols is not None:
+            tiebreak = [F.col(c).desc() for c in tiebreak_cols]
+        else:
+            tiebreak = [
+                F.col(f.name).desc()
+                for f in sorted(batch_df.schema.fields, key=lambda f: f.name)
+                if f.name not in (*key_cols, "ts") and _orderable(f.dataType)
+            ]
         w = W.partitionBy(*key_cols).orderBy(F.col("ts").desc(), *tiebreak)
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))

@@ -392,3 +392,49 @@ def test_upsert_tombstone_empties_singleton_partition(spark, tmp_path):
     import os
 
     assert not os.path.isdir(os.path.join(path, "p=b"))
+
+
+def test_upsert_tombstone_cleanup_escaped_and_null_partitions(spark, tmp_path):
+    """Partition values Spark Hive-escapes on disk (':' -> %3A) and NULL
+    (-> __HIVE_DEFAULT_PARTITION__) must still get their emptied leaves
+    removed after a tombstoned key move: the cleanup derives the leaf
+    names from a Spark write of the touched tuples, not a raw f-string,
+    so the on-disk and constructed names can never diverge."""
+    import os
+
+    from data_bridge_spark.sinks.writers import (
+        emit_tombstones,
+        upsert_partitioned_table,
+        write_partitioned_table,
+    )
+
+    path = str(tmp_path / "escaped_move")
+    base = spark.createDataFrame(
+        [(1, "a:b", 10.0), (2, "keep", 20.0), (3, None, 30.0)],
+        "k long, p string, v double",
+    )
+    write_partitioned_table(base, path, partition_cols=["p"])
+    # pin the on-disk layout this test exists to exercise
+    assert os.path.isdir(os.path.join(path, "p=a%3Ab"))
+    assert os.path.isdir(os.path.join(path, "p=__HIVE_DEFAULT_PARTITION__"))
+
+    moved = spark.createDataFrame(
+        [(1, "keep", 11.0), (3, "keep", 31.0)], "k long, p string, v double"
+    )
+    ts = emit_tombstones(spark, moved, path, partition_cols=["p"], key_cols=["k"])
+    assert sorted((tuple(r) for r in ts.collect()), key=lambda t: t[0]) == [
+        (1, "a:b"),
+        (3, None),
+    ]
+    upsert_partitioned_table(
+        spark, moved, path, partition_cols=["p"], key_cols=["k"], tombstones=ts
+    )
+    after = spark.read.parquet(path)
+    assert sorted(tuple(r) for r in after.collect()) == [
+        (1, 11.0, "keep"),
+        (2, 20.0, "keep"),
+        (3, 31.0, "keep"),
+    ]
+    # the emptied escaped and NULL leaves are gone — no stale rows survive
+    assert not os.path.isdir(os.path.join(path, "p=a%3Ab"))
+    assert not os.path.isdir(os.path.join(path, "p=__HIVE_DEFAULT_PARTITION__"))

@@ -247,3 +247,51 @@ def test_stream_upsert_equal_ts_tie_is_deterministic(spark, sf_dir, tmp_path):
     replay = apply_once("b")
     # value is the only non-(key, ts) column: descending tiebreak → -7.0
     assert first == replay == -7.0
+
+
+def test_stream_upsert_tiebreak_skips_unorderable_map_column(spark, sf_dir, tmp_path):
+    """A change stream carrying a map-typed column (events.props) must not
+    blow up the equal-ts tiebreak: maps are not orderable in Spark, so
+    the tiebreak is restricted to orderable columns in sorted-name order
+    (and stays deterministic regardless of batch column order)."""
+    from data_bridge_spark.sinks.writers import write_partitioned_table
+    from data_bridge_spark.streaming.windows import stream_upsert_to_lake
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "value", "props")
+        .withColumn("ts", F.lit(0).cast("long"))
+    )
+    key = events.select("event_id").first()[0]
+    table = str(tmp_path / "serving")
+    write_partitioned_table(events, table, partition_cols=["event_type"])
+
+    landing = str(tmp_path / "changes")
+    os.makedirs(landing, exist_ok=True)
+    tied = (
+        events.filter(F.col("event_id") == key).withColumn("value", F.lit(-7.0))
+        .unionByName(
+            events.filter(F.col("event_id") == key).withColumn("value", F.lit(-9.0))
+        )
+        .withColumn("ts", F.lit(5).cast("long"))
+    )
+    stage = str(tmp_path / "stage")
+    tied.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    shutil.move(os.path.join(stage, part), os.path.join(landing, "tied.parquet"))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .format("parquet")
+        .load(landing)
+    )
+    q = stream_upsert_to_lake(
+        stream, table, str(tmp_path / "ckpt"),
+        partition_cols=["event_type"], key_cols=["event_id"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    row = spark.read.parquet(table).filter(F.col("event_id") == key).collect()[0]
+    # value is the highest orderable non-(key, ts) column: descending → -7.0
+    assert row.value == -7.0

@@ -85,6 +85,12 @@ def main() -> None:
     from data_bridge_spark.sinks.writers import write_partitioned_table
 
     spark = get_spark("stream_bench")
+    # drain() aggregates over q.recentProgress, which Spark caps at
+    # numRecentProgressUpdates (default 100): a long drain would
+    # undercount micro_batches and could miss the state peak if state
+    # shrinks late. Raise the cap well past any drain length here
+    # (replay is REPLICAS*CHUNKS files / FILES_PER_TRIGGER per batch).
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale")
     staging = os.path.join(root, "stream_events")
     work = os.path.join(root, "stream_bench_work")
