@@ -91,14 +91,20 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("c_custkey")), ",").alias(
                 "customer_ids"
             ),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("c_custkey", "c_mktsegment"))
+            # count-guard: array_join skips NULL elements exactly like
+            # string_agg, EXCEPT over an all-NULL group where string_agg
+            # is NULL and array_join is '' — restore the NULL
+            F.when(
+                F.count("c_mktsegment") > 0,
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("c_custkey", "c_mktsegment"))
+                        ),
+                        lambda s: s["c_mktsegment"],
                     ),
-                    lambda s: s["c_mktsegment"],
+                    ",",
                 ),
-                ",",
             ).alias("segments"),
         )
     )
@@ -113,12 +119,12 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
                  - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
                    * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
-                / (COUNT(*) - 1)) AS qty_stddev,
+                / NULLIF(COUNT(*) - 1, 0)) AS qty_stddev,
            (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
                      * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
             - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
               * CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
-           / (COUNT(*) - 1) AS qty_disc_covar
+           / NULLIF(COUNT(*) - 1, 0) AS qty_disc_covar
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -138,8 +144,11 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_d = dec_to_double(F.sum(F.col("l_discount").cast("decimal(18,6)")), 6)
     return t.lineitem.groupBy("l_returnflag").agg(
         n.alias("n"),
-        F.sqrt((sum_qq - sum_q * sum_q / n) / (n - 1)).alias("qty_stddev"),
-        ((sum_qd - sum_q * sum_d / n) / (n - 1)).alias("qty_disc_covar"),
+        # NULLIF(n-1): sample stddev/covar of a single observation is
+        # NULL in standard SQL (and ANSI Spark would otherwise raise
+        # DIVIDE_BY_ZERO); guarded identically in the oracle
+        F.sqrt((sum_qq - sum_q * sum_q / n) / F.nullif(n - 1, F.lit(0))).alias("qty_stddev"),
+        ((sum_qd - sum_q * sum_d / n) / F.nullif(n - 1, F.lit(0))).alias("qty_disc_covar"),
     )
 
 
@@ -278,8 +287,8 @@ def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n, mean,
            m2 AS variance_pop,
-           m3 / (m2 * SQRT(m2)) AS skewness,
-           m4 / (m2 * m2) - 3.0 AS kurtosis_ex
+           m3 / NULLIF(m2 * SQRT(m2), 0) AS skewness,
+           m4 / NULLIF(m2 * m2, 0) - 3.0 AS kurtosis_ex
     FROM m
     """,
     tags=("agg", "stats", "moments"),
@@ -333,6 +342,8 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "mean",
         m2.alias("variance_pop"),
-        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
-        (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_ex"),
+        # zero variance (constant group / single row): skewness and
+        # kurtosis are undefined -> NULL, matching the oracle's NULLIF
+        (m3 / F.nullif(m2 * F.sqrt(m2), F.lit(0.0))).alias("skewness"),
+        (m4 / F.nullif(m2 * m2, F.lit(0.0)) - F.lit(3.0)).alias("kurtosis_ex"),
     )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.registry import register
+from data_bridge_spark.session import lineage_cut
 
 # Word n-gram construction shared by the three operators: zip the token
 # array against its own shifted slices — pure array expressions, the
@@ -139,7 +140,7 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.filter(F.col("doc_id") < _BENCH_MAX_DOC)
         .select("shingle")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     lanes = (
         bench.select(

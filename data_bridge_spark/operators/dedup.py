@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.registry import register
+from data_bridge_spark.session import lineage_cut
 
 # shared normalization: lowercase, collapse whitespace, trim.
 def _norm(col: F.Column) -> F.Column:
@@ -176,7 +177,7 @@ def lsh_candidate_pairs(
             F.count(F.lit(1)).over(w).alias("bsz"),
             F.min("doc_id").over(w).alias("bmin"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     small = sized.filter(F.col("bsz") <= cap)
     l, r = small.alias("l"), small.alias("r")
@@ -490,7 +491,11 @@ def _lsh_cc_labels(
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
+        # explicit param wins; otherwise lineage_cut honors the session
+        # conf / DBS_CHECKPOINT_DIR knob, falling back to localCheckpoint
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return lineage_cut(df, eager=True)
 
     edges = ckpt(
         lsh_candidate_pairs(docs).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

@@ -202,7 +202,7 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            (n * sqp - sq * sp)
-           / (SQRT(n * sqq - sq * sq) * SQRT(n * spp - sp * sp)) AS qty_price_corr
+           / NULLIF(SQRT(n * sqq - sq * sq) * SQRT(n * spp - sp * sp), 0) AS qty_price_corr
     FROM s
     """,
     tags=("agg", "stats", "corr"),
@@ -237,8 +237,11 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_qp = dec_to_double(F.sum(q6 * p2).cast("decimal(38,2)"), 2)
     sum_qq = dec_to_double(F.sum(q6 * q6).cast("decimal(38,2)"), 2)
     sum_pp = F.round(F.sum(p2 * p2), 0).cast("decimal(38,0)").cast("double")
-    corr = (n * sum_qp - sum_q * sum_p) / (
-        F.sqrt(n * sum_qq - sum_q * sum_q) * F.sqrt(n * sum_pp - sum_p * sum_p)
+    # NULLIF: correlation of a single observation / zero-variance group
+    # is undefined -> NULL on both engines (ANSI Spark would raise)
+    corr = (n * sum_qp - sum_q * sum_p) / F.nullif(
+        F.sqrt(n * sum_qq - sum_q * sum_q) * F.sqrt(n * sum_pp - sum_p * sum_p),
+        F.lit(0.0),
     )
     return t.lineitem.groupBy("l_returnflag").agg(
         n.alias("n"), corr.alias("qty_price_corr")
@@ -431,12 +434,39 @@ _GROUPING_SETS_SQL = """
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS — the general form rollup/cube specialize
     (here: (flag, status), (flag), and grand total, skipping the
-    (status)-only set a cube would add). Identical SQL text runs on both
-    engines; Catalyst expands the sets over ONE exchange with map-side
-    partial aggregation, exactly like agg_rollup's plan. Decimal-exact
-    sums as everywhere."""
-    Tables(spark, sf_dir).view("lineitem")
-    return spark.sql(_GROUPING_SETS_SQL)
+    (status)-only set a cube would add). Same pre-aggregate-then-expand
+    shape as agg_rollup: ONE lineitem scan builds the (flag, status)
+    partials (exact decimal sums), groupingSets() expands the tiny
+    partial table, and the standard-mandated grand-total row on EMPTY
+    input (count 0, NULL sum — Spark's keyed aggregate drops it, DuckDB
+    keeps it) is reinstated from the same cut partials."""
+    from data_bridge_spark.session import lineage_cut
+
+    t = Tables(spark, sf_dir)
+    fine = lineage_cut(
+        t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n0"), F.sum(dec("l_quantity")).alias("s0")
+        )
+    )
+    sets = fine.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum("n0").alias("n"),
+        dec_to_double(F.sum("s0").cast("decimal(28,6)")).alias("sum_qty"),
+    )
+    empty_total = (
+        fine.agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") == 0)
+        .select(
+            F.lit(None).cast("string").alias("l_returnflag"),
+            F.lit(None).cast("string").alias("l_linestatus"),
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("sum_qty"),
+        )
+    )
+    return sets.unionByName(empty_total)
 
 
 _OVL_BIN_S = 4 * 86400  # bin width >= the longest interval on either side
@@ -603,7 +633,14 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("mx"),
         )
 
-    hist = partial(t.orders.filter(F.col("o_orderdate") < _INCR_SPLIT))
+    # the split predicate must be TOTAL — every row on exactly one side
+    # — or NULL-dated rows silently drop from the maintained aggregate
+    # (the oracle aggregates the whole table); NULL dates ride history
+    hist = partial(
+        t.orders.filter(
+            (F.col("o_orderdate") < _INCR_SPLIT) | F.col("o_orderdate").isNull()
+        )
+    )
     delta = partial(t.orders.filter(F.col("o_orderdate") >= _INCR_SPLIT))
     return (
         hist.unionByName(delta)

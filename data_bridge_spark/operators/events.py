@@ -24,6 +24,7 @@ from data_bridge_spark.registry import register
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL  -- F.window drops NULL-ts rows; make it explicit on both sides
     GROUP BY 1, 2
     """,
     tags=("events", "window"),
@@ -32,8 +33,11 @@ def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute windows (streaming's bread-and-butter agg in
     batch form): `F.window` buckets rows; one shuffle on (window, type)."""
     t = Tables(spark, sf_dir)
+    # NULL ts is not an observation: F.window drops such rows silently
+    # (DuckDB's time_bucket would group them) — the exclusion is explicit
     return (
-        t.events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        t.events.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
@@ -46,6 +50,7 @@ def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events, UNNEST([0, 1]) AS t(k)
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
     tags=("events", "window"),
@@ -56,7 +61,8 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates via UNNEST)."""
     t = Tables(spark, sf_dir)
     return (
-        t.events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        t.events.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -327,7 +333,11 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t")
     ).select(
-        F.concat_ws(">", F.col("t.a"), F.col("t.b"), F.col("t.c")).alias("path")
+        # F.concat (not concat_ws): a NULL event_type inside a trigram
+        # must NULL the whole path, exactly like the oracle's || chain —
+        # concat_ws would silently SKIP the null segment and mint a
+        # different path string
+        F.concat(F.col("t.a"), F.lit(">"), F.col("t.b"), F.lit(">"), F.col("t.c")).alias("path")
     )
     return (
         tri.groupBy("path")

@@ -9,7 +9,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
-from data_bridge_spark.functions.exact import dsum
+from data_bridge_spark.functions.exact import dec, dec_to_double, dsum
+from data_bridge_spark.session import lineage_cut
 from data_bridge_spark.registry import register
 
 _TIERS = [
@@ -156,16 +157,25 @@ def filter_step_param(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE with GROUPING() indicators (disambiguates 'null because
-    subtotal' from 'null in the data') — one shuffle for all 4 grouping
-    sets."""
+    subtotal' from 'null in the data'), pre-aggregated at the finest
+    (status, priority) grain so the 4-way Expand rides the tiny partial
+    table, not the raw orders scan. Standard-compliant on EMPTY input:
+    the () grouping set's grand-total row (count 0, NULL sum, both
+    GROUPING()s = 1) is reinstated from the same partials — Spark's
+    keyed aggregate alone would emit nothing (see agg_rollup)."""
     t = Tables(spark, sf_dir)
-    return (
-        t.orders.cube("o_orderstatus", "o_orderpriority")
+    fine = lineage_cut(
+        t.orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n0"), F.sum(dec("o_totalprice")).alias("s0")
+        )
+    )
+    cub = (
+        fine.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping("o_orderstatus").alias("g_status"),
             F.grouping("o_orderpriority").alias("g_priority"),
-            F.count(F.lit(1)).alias("n"),
-            dsum("o_totalprice", "total"),
+            F.sum("n0").alias("n"),
+            dec_to_double(F.sum("s0").cast("decimal(28,6)")).alias("total"),
         )
         .select(
             F.col("o_orderstatus").alias("status"),
@@ -176,6 +186,19 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+    empty_total = (
+        fine.agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") == 0)
+        .select(
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("string").alias("priority"),
+            F.lit(1).cast("byte").alias("g_status"),
+            F.lit(1).cast("byte").alias("g_priority"),
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("total"),
+        )
+    )
+    return cub.unionByName(empty_total)
 
 
 @register(
@@ -433,8 +456,15 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.orders.select("o_orderkey", "o_totalprice", "o_orderstatus").write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(out)
-    # read back only one partition — the scan lists a single directory
-    return spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    # read back only one partition — the scan lists a single directory.
+    # Explicit schema (known at write time): an EMPTY table writes no
+    # data files, and schema inference over _SUCCESS-only dirs fails —
+    # with the schema declared the read is a well-typed 0-row scan.
+    return (
+        spark.read.schema("o_orderkey bigint, o_totalprice double, o_orderstatus string")
+        .parquet(out)
+        .filter(F.col("o_orderstatus") == "F")
+    )
 
 
 @register(
@@ -632,8 +662,11 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="o_orderkey bigint, part string, amount double")
     class SplitCharges:
         def eval(self, o_orderkey: int, o_totalprice: float):
-            yield o_orderkey, "net", o_totalprice * 0.8
-            yield o_orderkey, "tax", o_totalprice * 0.2
+            # NULL price -> NULL amounts, like the oracle's NULL * 0.8
+            net = None if o_totalprice is None else o_totalprice * 0.8
+            tax = None if o_totalprice is None else o_totalprice * 0.2
+            yield o_orderkey, "net", net
+            yield o_orderkey, "tax", tax
 
     t = Tables(spark, sf_dir)
     t.orders.filter(F.col("o_orderkey") < 200).select(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.operators.dedup import _bands_sql, _pairs_sql, lsh_candidate_pairs
 from data_bridge_spark.registry import register
+from data_bridge_spark.session import lineage_cut
 
 _SCALE = 1_000_000_000  # rank fixed-point unit
 _ITERS = 3
@@ -107,7 +108,11 @@ def pagerank(
         docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def ckpt(df: DataFrame, eager: bool) -> DataFrame:
-        return df.checkpoint(eager=eager) if checkpoint_dir is not None else df.localCheckpoint(eager=eager)
+        # explicit param wins; otherwise lineage_cut honors the session
+        # conf / DBS_CHECKPOINT_DIR knob, falling back to localCheckpoint
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=eager)
+        return lineage_cut(df, eager=eager)
 
     pairs = lsh_candidate_pairs(docs).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -178,7 +183,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         lsh_candidate_pairs(docs.filter(F.col("doc_id") < 100))
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
@@ -254,7 +259,7 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     dist = t.documents.filter(F.col("doc_id") < _BFS_SEED_MAX).select(
         "doc_id", F.lit(0).cast("long").alias("dist")
     )
@@ -267,6 +272,6 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(expanded)
             .groupBy("doc_id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
     return dist.select("doc_id", F.col("dist").cast("int").alias("dist"))

@@ -262,8 +262,8 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           (n * sqp - sq * sp) / (n * sqq - sq * sq) AS slope,
-           (sp - ((n * sqp - sq * sp) / (n * sqq - sq * sq)) * sq) / n AS intercept
+           (n * sqp - sq * sp) / NULLIF(n * sqq - sq * sq, 0) AS slope,
+           (sp - ((n * sqp - sq * sp) / NULLIF(n * sqq - sq * sq, 0)) * sq) / n AS intercept
     FROM s
     """,
     tags=("agg", "stats", "regression"),
@@ -286,7 +286,9 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = dec_to_double(F.sum(p2).cast("decimal(38,2)"), 2)
     sqp = dec_to_double(F.sum(q6 * p2).cast("decimal(38,2)"), 2)
     sqq = dec_to_double(F.sum(q6 * q6).cast("decimal(38,2)"), 2)
-    slope = (n * sqp - sq * sp) / (n * sqq - sq * sq)
+    # NULLIF: zero quantity-variance (single row / constant regressor)
+    # has no defined OLS fit -> NULL on both engines (ANSI would raise)
+    slope = (n * sqp - sq * sp) / F.nullif(n * sqq - sq * sq, F.lit(0.0))
     intercept = (sp - slope * sq) / n
     return t.lineitem.groupBy("l_returnflag").agg(
         n.alias("n"), slope.alias("slope"), intercept.alias("intercept")

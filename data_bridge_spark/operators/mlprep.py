@@ -155,7 +155,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE docs AS (
         SELECT doc_id,
-               LEAST(len(string_split(text, ' ')), 512) AS n,
+               LEAST(COALESCE(len(string_split(text, ' ')), 0), 512) AS n,
                CAST(('0x' || substr(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS g,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY CAST(('0x' || substr(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16
@@ -211,7 +211,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = t.documents.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        # NULL text packs as 0 tokens (split(NULL) -> size NULL -> NaN in
+        # pandas -> int() crash without the coalesce; oracle COALESCEs too)
+        F.coalesce(F.size(F.split("text", " ")), F.lit(0)).alias("n_tokens"),
         group.alias("pack_group"),
     )
 
@@ -592,10 +594,10 @@ _DRIFT_CUT = "2024-01-16 00:00:00"
         FROM tot
     )
     SELECT event_type, n_a, n_b,
-           CAST(n_a AS DOUBLE) / CAST(na_tot AS DOUBLE) AS share_a,
-           CAST(n_b AS DOUBLE) / CAST(nb_tot AS DOUBLE) AS share_b,
+           CAST(n_a AS DOUBLE) / NULLIF(CAST(na_tot AS DOUBLE), 0) AS share_a,
+           CAST(n_b AS DOUBLE) / NULLIF(CAST(nb_tot AS DOUBLE), 0) AS share_b,
            CAST(CAST(SUM(nm) OVER () AS DECIMAL(38,0)) AS DOUBLE)
-               / (2.0 * CAST(na_tot AS DOUBLE) * CAST(nb_tot AS DOUBLE)) AS tv_dist
+               / NULLIF(2.0 * CAST(na_tot AS DOUBLE) * CAST(nb_tot AS DOUBLE), 0) AS tv_dist
     FROM num
     """,
     tags=("mlprep", "dq", "drift"),
@@ -636,14 +638,24 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_a",
         "n_b",
-        (F.col("n_a").cast("double") / F.col("na_tot").cast("double")).alias("share_a"),
-        (F.col("n_b").cast("double") / F.col("nb_tot").cast("double")).alias("share_b"),
+        # NULLIF on every denominator: an empty window (all events on one
+        # side of the drift cut) must yield NULL on both engines — ANSI
+        # Spark raises on /0 and DuckDB gives Inf/NaN otherwise
+        (
+            F.col("n_a").cast("double")
+            / F.nullif(F.col("na_tot").cast("double"), F.lit(0.0))
+        ).alias("share_a"),
+        (
+            F.col("n_b").cast("double")
+            / F.nullif(F.col("nb_tot").cast("double"), F.lit(0.0))
+        ).alias("share_b"),
         (
             F.sum("nm").over(w).cast("decimal(38,0)").cast("double")
-            / (
+            / F.nullif(
                 F.lit(2.0)
                 * F.col("na_tot").cast("double")
-                * F.col("nb_tot").cast("double")
+                * F.col("nb_tot").cast("double"),
+                F.lit(0.0),
             )
         ).alias("tv_dist"),
     )

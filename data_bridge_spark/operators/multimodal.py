@@ -96,6 +96,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "n_bytes": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload has no frames (oracle: UNNEST of NULL range)
                 for idx, off in enumerate(range(0, len(payload), stride)):
                     chunk = payload[off : off + width]
                     out["doc_id"].append(doc_id)
@@ -146,7 +148,11 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_features(p) for p in pdf["payload"]]
+            # NULL payload -> (NULL, 0, 0.0), the oracle's CASE result
+            feats = [
+                _fake_features(p) if p is not None else (None, 0, 0.0)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

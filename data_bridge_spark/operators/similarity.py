@@ -127,12 +127,19 @@ def kmeans_centroids(
     # the training loop re-reads its input iters+1 times — pin it for the
     # loop's lifetime (the canonical iterative-algorithm cache; released
     # before returning so the caller's plan doesn't hold executor memory)
-    train = emb.select("vec_id", "embedding").persist()
+    # NULL embeddings are not observations — a NULL row would poison
+    # the seed collect (None is not iterable) and the centroid sums
+    train = emb.filter(F.col("embedding").isNotNull()).select("vec_id", "embedding").persist()
     try:
         seed_rows = (
             train.orderBy(_seed_hash(F.col("vec_id")), F.col("vec_id")).limit(k).collect()
         )
         centroids = [[float(x) for x in r.embedding] for r in seed_rows]
+        if not centroids:
+            # empty training corpus: no cells to train (callers emit a
+            # schema-stable empty result instead of an array() literal
+            # that would fail analysis)
+            return []
         for _ in range(iters):
             sums = (
                 train.select(
@@ -200,7 +207,7 @@ def _ivf_oracle_sql(k: int, iters: int, nprobe: int) -> str:
     graph.py's PageRank oracle."""
     seed_order = "MD5('ivf-' || CAST(vec_id AS VARCHAR)), vec_id"
     parts = [
-        f"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        f"""WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
     q2 AS (
         SELECT vec_id, pos,
                CAST(ROUND(CAST(embedding[pos + 1] AS DOUBLE), 6) AS DECIMAL(12,6)) AS q
@@ -297,8 +304,15 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell) — beyond that, re-derive the oracle rather than trust the cast.
     """
     t = Tables(spark, sf_dir)
-    emb = t.embeddings
+    # NULL embeddings are excluded everywhere (train, corpus, probes) —
+    # mirrored by the oracle's WHERE embedding IS NOT NULL
+    emb = t.embeddings.filter(F.col("embedding").isNotNull())
     centroids = kmeans_centroids(emb)
+    if not centroids:
+        # empty corpus: nothing trained, nothing searchable
+        return spark.createDataFrame(
+            [], "probe_id bigint, cand_id bigint, cos_sim double, rk int"
+        )
     cands = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
@@ -342,7 +356,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sig AS (
         SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT probe_id, cand_id, cos_sim, rk FROM (
         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
@@ -364,7 +378,10 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitionable; recall < 1 by design, but the result is still
     deterministic so it oracle-checks."""
     t = Tables(spark, sf_dir)
-    sig = t.embeddings.select(
+    # NULL embeddings excluded: _bucket_expr's CASE would land them all
+    # in bucket '000000' (NULL >= 0 is NULL -> otherwise-branch) while
+    # the oracle's list_transform yields a NULL bucket — not observations
+    sig = t.embeddings.filter(F.col("embedding").isNotNull()).select(
         "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
     )
     probes = sig.filter(F.col("vec_id") < 50).select(

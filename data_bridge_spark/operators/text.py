@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.registry import register
+from data_bridge_spark.session import lineage_cut
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 _SW_SQL = "', '".join(_STOPWORDS)
@@ -362,7 +363,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan+tokenize+explode runs once, same pattern as the LSH band
         # table (dedup.py); at cluster scale this becomes a persisted
         # signature/pair table (SCALE.md)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     tot = cnt.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.registry import register
+from data_bridge_spark.session import lineage_cut
 
 
 @register(
@@ -178,11 +179,13 @@ _EVENT_TYPES_STATIC = ("click", "error", "purchase", "signup", "view")
 )
 def events_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic pivot: daily value sums by event type where the pivot
-    columns are DISCOVERED at plan time (`pivot()` with no value list →
-    Spark runs a bounded distinct job, sorts the values, and compiles
-    the same single-pass pivot plan as the static form).  The static
-    oracle then *verifies the discovery*: if the distinct scan surfaced
-    a wrong or missing type, the schemas diverge and the check fails.
+    columns are DISCOVERED at plan time — the same bounded distinct job
+    `pivot()` runs internally when given no value list, made explicit so
+    NULL can be excluded (pivot() would mint a literal 'null' column;
+    NULL matches no bucket in the oracle either, while its rows still
+    feed the day groups).  The static oracle then *verifies the
+    discovery*: a wrongly-absent type's sums would be nonzero there and
+    the value compare fails.
 
     The discovery job scans one low-cardinality column — at 100 TB this
     is a column-pruned, map-side-combined distinct, the standard price
@@ -190,18 +193,36 @@ def events_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit-list fast path).  Sums are exact decimal, collapsed to
     DOUBLE at the edge."""
     t = Tables(spark, sf_dir)
+    # the discovery job, explicit: one column-pruned distinct scan of the
+    # low-cardinality pivot column. NULL is not a pivot value (a NULL
+    # type matches no CASE branch in the oracle either — its rows still
+    # feed the day_d groups, just no bucket), so it is dropped here
+    # rather than letting pivot() mint a 'null' column
+    discovered = sorted(
+        r[0]
+        for r in t.events.select("event_type").distinct().collect()
+        if r[0] is not None
+    )
     piv = (
         t.events.groupBy(F.to_date("ts").alias("day_d"))
-        .pivot("event_type")
+        .pivot("event_type", discovered)
         .agg(F.sum(F.col("value").cast("decimal(18,6)")))
     )
-    discovered = sorted(c for c in piv.columns if c != "day_d")
-    assert tuple(discovered) == _EVENT_TYPES_STATIC, discovered
+    # discovery can surface a subset of the declared domain (empty or
+    # sparse input) but never invent a type outside it; absent types
+    # become 0-filled columns so the output schema is stable — and a
+    # WRONGLY-absent type is still caught by the oracle's value compare
+    # (its sums would be nonzero)
+    assert set(discovered) <= set(_EVENT_TYPES_STATIC), discovered
     return piv.select(
         "day_d",
         *[
-            F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c)
-            for c in discovered
+            (
+                F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+                if c in discovered
+                else F.lit(0.0)
+            ).alias(c)
+            for c in _EVENT_TYPES_STATIC
         ],
     )
 
@@ -210,13 +231,14 @@ def events_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sequence_detect",
     oracle="""
     WITH seqs AS (
-      SELECT user_id, string_agg(event_type, ',' ORDER BY ts ASC, event_id ASC) AS seq
+      SELECT user_id, string_agg(event_type, ',' ORDER BY ts ASC, event_id ASC) AS seq,
+             COUNT(*) AS n_events
       FROM events GROUP BY user_id
     )
     SELECT user_id,
            CAST((len(seq) - len(replace(seq, 'view,click,purchase', '')))
                 / len('view,click,purchase') AS BIGINT) AS n_funnel,
-           CAST(len(string_split(seq, ',')) AS BIGINT) AS n_events
+           n_events
     FROM seqs
     """,
     tags=("events", "pattern"),
@@ -234,7 +256,12 @@ def events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
     )
-    seq = F.concat_ws(",", F.transform(ordered, lambda x: x["event_type"]))
+    # concat_ws skips NULL elements — exactly string_agg's semantics —
+    # EXCEPT over an all-NULL input, where string_agg is NULL and
+    # concat_ws is '': the count-guard restores the NULL (n_events keeps
+    # counting rows, so the oracle counts rows too)
+    joined = F.concat_ws(",", F.transform(ordered, lambda x: x["event_type"]))
+    seq = F.when(F.count("event_type") > 0, joined)
     return (
         t.events.groupBy("user_id")
         .agg(seq.alias("seq"), F.count(F.lit(1)).alias("n_events"))
@@ -340,7 +367,7 @@ def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # consumed three times (coverage, day set, DAU): materialize the
         # dedup once, same policy as the LSH band / LM pair tables
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     days = ud.select("day").distinct()
     cover = ud.select(
@@ -377,7 +404,7 @@ def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
                    x[1]*0.25 + (acc[1]+acc[2])*0.75,
                    (x[1]*0.25 + (acc[1]+acc[2])*0.75 - acc[1])*0.25 + acc[2]*0.75
                  ]) AS st
-        FROM events GROUP BY user_id
+        FROM events WHERE value IS NOT NULL GROUP BY user_id
     )
     SELECT user_id, n_events, st[1] AS level, st[2] AS trend,
            st[1] + 3*st[2] AS forecast_3
@@ -400,7 +427,13 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of the same recurrence is the applyInPandasWithState
     accumulator pattern (streaming/stateful.py)."""
     t = Tables(spark, sf_dir)
-    ev = t.events.select(
+    # NULL values are not observations: excluded explicitly on BOTH
+    # sides — besides being the right series semantics, Spark's
+    # higher-order `aggregate` lambda miscomputes NULL arithmetic on a
+    # struct accumulator field (observed on 4.1: the trend slot returns
+    # 0.0 where the identical scalar expression returns NULL), so NULL
+    # must never enter the fold
+    ev = t.events.filter(F.col("value").isNotNull()).select(
         "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
     )
     vals = F.transform(

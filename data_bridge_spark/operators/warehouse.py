@@ -332,7 +332,9 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(CAST(('0x' || substr(MD5(
-                  CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment
+                  COALESCE(CAST(c_custkey AS VARCHAR), '__NULL__') || '|'
+                  || COALESCE(c_name, '__NULL__') || '|'
+                  || COALESCE(c_mktsegment, '__NULL__')
                ), 1, 12)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
     FROM customer
     """,
@@ -355,14 +357,20 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree on float formatting, the one encoding rule this pattern
     needs)."""
     t = Tables(spark, sf_dir)
+    # NULLs are encoded with an explicit sentinel: concat_ws SKIPS null
+    # elements, so ('a', NULL) and (NULL, 'a') would hash identically
+    # (and diverge from the oracle's NULL-propagating ||) — coalescing
+    # each column first makes the canonical encoding total and keeps the
+    # checksum sensitive to which column was NULL
+    nn = lambda c: F.coalesce(c.cast("string"), F.lit("__NULL__"))  # noqa: E731
     h = F.conv(
         F.substring(
             F.md5(
                 F.concat_ws(
                     "|",
-                    F.col("c_custkey").cast("string"),
-                    F.col("c_name"),
-                    F.col("c_mktsegment"),
+                    nn(F.col("c_custkey")),
+                    nn(F.col("c_name")),
+                    nn(F.col("c_mktsegment")),
                 )
             ),
             1,

@@ -20,7 +20,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "stop_spark", "lineage_cut"]
 
 
 def get_spark(
@@ -80,3 +80,32 @@ def drop_dead_blocks(spark: SparkSession) -> None:
             rdd.unpersist(True)
     except Exception:
         spark.catalog.clearCache()
+
+
+def lineage_cut(df, eager: bool = False):
+    """One-shot lineage fence for a small intermediate that is consumed
+    by multiple downstream branches (band tables, per-key seeds,
+    aggregate-once frames).
+
+    Default is ``localCheckpoint`` — executor-local block storage, no
+    durable write, the right cost for local runs and tests, but NOT
+    fault-tolerant: losing an executor invalidates its locally-stored
+    partitions and fails the query (retry-the-query cost, never a wrong
+    answer). For a cluster run, set ``spark.databridge.checkpointDir``
+    (runtime-settable conf) or the ``DBS_CHECKPOINT_DIR`` env var and
+    every fence in the repo becomes a durable reliable ``checkpoint()``
+    into that directory — the same knob the iterative loops already
+    expose as a parameter (operators/graph.py, operators/dedup.py).
+
+    Registered queries have a fixed (spark, sf_dir) signature, so the
+    knob is conf/env rather than a parameter."""
+    spark = df.sparkSession
+    try:
+        ckpt = spark.conf.get("spark.databridge.checkpointDir", None)
+    except Exception:
+        ckpt = None
+    ckpt = ckpt or os.environ.get("DBS_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -26,6 +26,7 @@ from email.message import EmailMessage
 from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import DataFrame
+from pyspark.errors.exceptions.captured import AnalysisException
 
 from data_bridge_spark.plans.models import DestinationResponse
 
@@ -245,7 +246,11 @@ def emit_tombstones(
     new_assign = updates.select(
         *key_cols, *[F.col(c).alias(f"__new_{c}") for c in partition_cols]
     )
-    existing = spark.read.parquet(path).select(*key_cols, *partition_cols)
+    try:
+        existing = spark.read.parquet(path).select(*key_cols, *partition_cols)
+    except AnalysisException:
+        # empty table on disk (no data files): nothing can have moved
+        return updates.select(*key_cols, *partition_cols).limit(0)
     moved = F.lit(False)
     for c in partition_cols:
         moved = moved | ~F.col(c).eqNullSafe(F.col(f"__new_{c}"))
@@ -303,7 +308,13 @@ def upsert_partitioned_table(
     touched = [tuple(r) for r in touched_df.distinct().collect()]
     if not touched:
         return 0
-    existing = spark.read.parquet(path)
+    # an existing table that was written EMPTY has no data files (just
+    # _SUCCESS), so schema inference fails — treat it as zero existing
+    # rows with the updates' own schema (first real upsert populates it)
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException:
+        existing = spark.createDataFrame([], updates.schema)
     # eqNullSafe so a NULL partition value (written as
     # __HIVE_DEFAULT_PARTITION__) prunes in like any other; the isin
     # fast path only when no NULL is present (isin never matches NULL)
@@ -330,9 +341,21 @@ def upsert_partitioned_table(
     # the cast, a wider update type (double vs decimal) makes unionByName
     # coerce, and touched partitions would be rewritten with a different
     # parquet type than untouched ones — a later whole-table read then
-    # fails on the mixed schema
+    # fails on the mixed schema. A NullType existing column (a partition
+    # column whose only on-disk value is __HIVE_DEFAULT_PARTITION__ infers
+    # as VOID) carries no type information — keep the updates' type there
+    # (unionByName coerces the kept side's VOID up to it).
+    from pyspark.sql.types import NullType
+
     aligned = updates.select(
-        *[F.col(c).cast(existing.schema[c].dataType).alias(c) for c in existing.columns]
+        *[
+            (
+                F.col(c)
+                if isinstance(existing.schema[c].dataType, NullType)
+                else F.col(c).cast(existing.schema[c].dataType)
+            ).alias(c)
+            for c in existing.columns
+        ]
     )
     merged = kept.unionByName(aligned)
     tmp = path.rstrip("/") + "._upserting"

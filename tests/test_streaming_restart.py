@@ -295,3 +295,85 @@ def test_stream_upsert_tiebreak_skips_unorderable_map_column(spark, sf_dir, tmp_
     row = spark.read.parquet(table).filter(F.col("event_id") == key).collect()[0]
     # value is the highest orderable non-(key, ts) column: descending → -7.0
     assert row.value == -7.0
+
+
+def test_stream_upsert_crash_mid_batch_recovers_exactly_once(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash INSIDE foreachBatch after the upsert wrote but before the
+    checkpoint committed — the worst-case failure window. On restart the
+    batch replays and re-applies; because the upsert is a deterministic
+    replace-by-key, the double application converges to the same table:
+    exactly-once APPLICATION, proven by value equality and row count."""
+    import data_bridge_spark.sinks.writers as writers
+    from data_bridge_spark.sinks.writers import write_partitioned_table
+    from data_bridge_spark.streaming.windows import stream_upsert_to_lake
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .withColumn("ts", F.lit(0).cast("long"))
+    )
+    table = str(tmp_path / "serving")
+    write_partitioned_table(events, table, partition_cols=["event_type"])
+    base_n = events.count()
+    keys = [r.event_id for r in events.limit(3).collect()]
+
+    landing = str(tmp_path / "changes")
+    os.makedirs(landing, exist_ok=True)
+    batch = (
+        events.filter(F.col("event_id").isin(keys))
+        .withColumn("value", F.lit(-5.0))
+        .withColumn("ts", F.lit(1).cast("long"))
+    )
+    stage = str(tmp_path / "stage")
+    batch.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    shutil.move(os.path.join(stage, part), os.path.join(landing, "b1.parquet"))
+
+    real_upsert = writers.upsert_partitioned_table
+    calls = {"n": 0}
+
+    def crashing(spark_, updates, path_, **kw):
+        n = real_upsert(spark_, updates, path_, **kw)  # write COMPLETES
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after write, before checkpoint commit")
+        return n
+
+    monkeypatch.setattr(writers, "upsert_partitioned_table", crashing)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(landing).schema)
+            .format("parquet")
+            .load(landing)
+        )
+        q = stream_upsert_to_lake(
+            stream, table, ckpt, partition_cols=["event_type"], key_cols=["event_id"]
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass  # first run: the injected crash fails the query
+        finally:
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+    run()  # crashes after the write — batch applied, checkpoint uncommitted
+    assert calls["n"] == 1
+    # second run from the same checkpoint: the batch REPLAYS (it never
+    # committed) and re-applies idempotently
+    run()
+    assert calls["n"] == 2
+    after = spark.read.parquet(table)
+    assert after.count() == base_n  # no duplicates from the double apply
+    got = {
+        r.event_id: r.value
+        for r in after.filter(F.col("event_id").isin(keys)).collect()
+    }
+    assert got == {k: -5.0 for k in keys}
