@@ -32,10 +32,10 @@ _ARG_KEYSPAN = 10_000_000_000
            BOOL_AND(o_totalprice > 0) AS all_positive,
            BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
            ARG_MIN(o_orderkey,
-                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
                        * {_ARG_KEYSPAN} + o_orderkey) AS cheapest_order,
            ARG_MAX(o_orderkey,
-                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
                        * {_ARG_KEYSPAN} + o_orderkey) AS priciest_order
     FROM orders
     GROUP BY o_orderstatus
@@ -52,8 +52,13 @@ def agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (caught by the round-6 full sf1 sweep; the old docstring's "values
     are distinct-enough" held only below that scale)."""
     t = Tables(spark, sf_dir)
+    # the composite needs 128-bit room: boundary prices (1e8 -> 1e10 in
+    # cents) times the keyspan overflow int64 on both engines. Spark
+    # rides DECIMAL(38,0) (exact); DuckDB rides HUGEINT — its
+    # DECIMAL(38,0) x int product silently loses exactness near width 38
+    # (caught by the fuzz fixture's boundary prices)
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-    composite = cents * F.lit(_ARG_KEYSPAN) + F.col("o_orderkey")
+    composite = cents.cast("decimal(38,0)") * F.lit(_ARG_KEYSPAN) + F.col("o_orderkey")
     return t.orders.groupBy("o_orderstatus").agg(
         F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
@@ -155,9 +160,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_histogram",
     oracle="""
-    -- DuckDB has no width_bucket; arithmetic equivalent for values in
-    -- [0, 500000) with 10 buckets (no under/overflow rows in this data)
-    SELECT CAST(FLOOR(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+    -- DuckDB has no width_bucket; arithmetic equivalent for 10 buckets
+    -- over [0, 500000), with width_bucket's under/overflow clamp (bucket
+    -- 0 below min, 11 at/above max) so out-of-range values agree too
+    SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 50000) + 1, 0), 11) AS BIGINT) AS bucket,
            COUNT(*) AS n,
            CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
            CAST(MAX(o_totalprice) AS DOUBLE) AS hi

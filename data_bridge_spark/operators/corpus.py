@@ -187,7 +187,7 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ws.doc_id, n_words, n_distinct,
            CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
            CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac,
-           CAST(nb - nd AS DOUBLE) / nb AS dup_bigram_frac
+           CAST(nb - nd AS DOUBLE) / NULLIF(nb, 0) AS dup_bigram_frac
     FROM ws JOIN bg USING (doc_id)
     """,
     tags=("text", "quality", "mlprep"),
@@ -228,7 +228,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         ((F.col("n_words") - F.col("n_distinct")).cast("double") / F.col("n_words")).alias("dup_word_frac"),
         (F.col("top_cnt").cast("double") / F.col("n_words")).alias("top_word_frac"),
-        ((F.col("nb") - F.col("nd")).cast("double") / F.col("nb")).alias("dup_bigram_frac"),
+        # NULLIF: a <2-token document has no bigrams — undefined fraction
+        # is NULL on both engines (ANSI Spark raises, DuckDB gives NaN)
+        (
+            (F.col("nb") - F.col("nd")).cast("double")
+            / F.nullif(F.col("nb"), F.lit(0))
+        ).alias("dup_bigram_frac"),
     )
 
 

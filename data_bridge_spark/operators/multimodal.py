@@ -63,17 +63,19 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    # the corpus is pure ASCII (asserted across all SFs), so DuckDB can
-    # chunk the VARCHAR directly — char positions == byte offsets and
-    # md5(chunk-as-text) == md5(chunk bytes)
+    # byte-exact for ANY payload: chunk the uppercase-hex encoding (2
+    # chars per byte, so byte offset 64 = hex offset 128) and fingerprint
+    # the hex — DuckDB's md5 only hashes VARCHAR, and a raw byte chunk
+    # can split a codepoint (not representable as VARCHAR), so the
+    # canonical frame fingerprint is md5(hex(bytes)) on both sides
     oracle="""
     WITH src AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS n
+        SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
         FROM documents WHERE doc_id < 100
     )
     SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-           CAST(length(substr(text, CAST(i*64+1 AS INT), 64)) AS INTEGER) AS n_bytes,
-           md5(substr(text, CAST(i*64+1 AS INT), 64)) AS frame_md5
+           CAST(length(substr(h, CAST(i*128+1 AS INT), 128)) // 2 AS INTEGER) AS n_bytes,
+           md5(substr(h, CAST(i*128+1 AS INT), 128)) AS frame_md5
     FROM src, UNNEST(range(CAST(ceil(n / 64.0) AS BIGINT))) AS t(i)
     """,
     tags=("multimodal", "udf"),
@@ -103,7 +105,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["n_bytes"].append(len(chunk))
-                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+                    # canonical fingerprint = md5 over the uppercase hex
+                    # encoding (cross-engine replayable for any bytes —
+                    # see the oracle comment)
+                    out["frame_md5"].append(
+                        hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     return src.mapInPandas(

@@ -333,7 +333,9 @@ def sim_cosine_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN ws IS NULL THEN NULL
                 ELSE list_reduce(list_prepend(0, list_transform(ws, w -> len(w))), (a, b) -> a + b)
                 END AS BIGINT) AS total_chars,
-           array_to_string(list_transform(list_filter(ws, w -> len(w) > 4), w -> upper(w)), '|') AS long_upper
+           CASE WHEN ws IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(list_transform(list_filter(ws, w -> len(w) > 4), w -> upper(w)), '|'), '')
+                END AS long_upper
     FROM toks
     """,
     tags=("scalar", "array", "hof"),

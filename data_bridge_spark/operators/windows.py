@@ -48,7 +48,7 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_qty
     FROM lineitem
@@ -59,11 +59,22 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running (cumulative) aggregate over an ordered frame
     (SURVEY §2B16). Decimal-exact so the prefix sums are identical in any
-    engine; the order (shipdate, orderkey, linenumber) is total."""
+    engine. The order includes every output column (shipdate, orderkey,
+    linenumber, quantity): the synthetic lineitem does NOT have a unique
+    (orderkey, linenumber) — 11k+ duplicate pairs at sf0.01, exposed when
+    the fuzz fixture's hot-supplier reassignment collapsed duplicates
+    into one partition — and with the measure in the order, any remaining
+    tie is a full-duplicate row whose running values form the same
+    multiset in either order."""
     t = Tables(spark, sf_dir)
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .orderBy(
+            F.col("l_shipdate").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("l_quantity").asc(),
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
