@@ -106,6 +106,52 @@ def _bands_sql(src: str = "documents", n_hashes: int = _N_HASHES, bands: int = _
     )
 
 
+def _star_edges_sql() -> str:
+    """Per-bucket STAR `edges` CTE chain (expects a `bands` CTE in scope) —
+    the scale-safe replacement for the all-pairs clique join the closure
+    oracles used through round 6.  The clique form (`bands l JOIN bands r
+    ON band ... AND l.doc_id <> r.doc_id`) is quadratic in the largest
+    bucket: at sf10 the upscaled boilerplate bucket made the DISTINCT
+    edge materialization spill DuckDB's temp storage past the disk
+    (docs/SLICE_sf10_closure_r7.log, round 7).  A star over the same
+    bucket member set — bucket-min hub ↔ each member, both directions —
+    yields IDENTICAL connected components (hub connects every member:
+    any in-bucket path a–b becomes a–hub–b), with O(|bands|) edges
+    instead of O(Σ bucket²).  The clique≡star equivalence is a theorem,
+    and it is also re-proven empirically on real data by
+    tests/test_dedup.py::test_cc_oracle_star_equals_clique, which runs
+    both edge constructions through the same unrolled closure in DuckDB
+    and asserts identical cluster multisets — so the oracle still proves
+    the Spark side's _BUCKET_CAP star guard lossless end-to-end."""
+    return """hubs AS (
+        SELECT band_idx, band_hash, MIN(doc_id) AS hub
+        FROM bands GROUP BY band_idx, band_hash HAVING COUNT(*) > 1
+    ),
+    star AS (
+        SELECT h.hub AS a, b.doc_id AS b
+        FROM bands b JOIN hubs h USING (band_idx, band_hash)
+        WHERE b.doc_id <> h.hub
+    ),
+    edges AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM star
+        UNION
+        SELECT b AS src, a AS dst FROM star
+    )"""
+
+
+def _clique_edges_sql() -> str:
+    """The pre-round-7 all-pairs clique `edges` CTE — kept ONLY for the
+    equivalence test that proves the star form above computes identical
+    components on real data.  Quadratic in the largest bucket; never use
+    in a registered oracle."""
+    return """edges AS MATERIALIZED (
+        SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+        FROM bands l JOIN bands r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+             AND l.doc_id <> r.doc_id
+    )"""
+
+
 # Oversized-bucket guard: an LSH bucket of b near-identical docs (mass
 # boilerplate) expands to O(b²) candidate pairs — the one quadratic term
 # in the pipeline (the sf0.1 corpus has a degenerate 1.8k-doc bucket →
@@ -118,13 +164,18 @@ def _bands_sql(src: str = "documents", n_hashes: int = _N_HASHES, bands: int = _
 # with the hub). Recall trade-off documented in SCALE.md.
 _BUCKET_CAP = 64
 
-# Unrolled-closure depth for the connected-components oracles: measured
-# fixpoint is 5 label-propagation iterations at sf0.01, 7 at sf0.1, and
-# 11 at sf1 (where depth 10 correctly fired the not_converged witness —
-# the sf1 slice caught it as a loud rowcount+poison mismatch, proving
-# the guard); 14 is headroom over the measured decade, and the oracle
-# PROVES the cap is not binding via the witness rather than assuming it.
-_CC_ORACLE_LEVELS = 14
+# Unrolled-closure depth for the connected-components oracles.  Measured
+# CLIQUE-edge fixpoints were 5 iterations at sf0.01, 7 at sf0.1, 11 at
+# sf1 (where depth 10 correctly fired the not_converged witness — a loud
+# rowcount+poison mismatch, proving the guard).  Round 7 switched the
+# oracle edge set to the per-bucket STAR form (_star_edges_sql), which
+# computes identical components but roughly doubles propagation path
+# lengths (a–b becomes a–hub–b), so the depth doubles too: 32 covers
+# 2×(sf1's 11)+1 with room for sf10's deeper closure.  Each level is one
+# join+group-by over the now-LINEAR edge set, so extra depth is cheap,
+# and the oracle PROVES the cap is not binding via the witness rather
+# than assuming it.
+_CC_ORACLE_LEVELS = 32
 
 
 def _bands_long(docs: DataFrame, n_hashes: int = _N_HASHES, bands: int = _BANDS) -> DataFrame:
@@ -425,12 +476,7 @@ def _unrolled_cc_sql(src: str, levels: int = _CC_ORACLE_LEVELS) -> str:
     "dedup_clusters",
     oracle=f"""
     WITH {_bands_sql()},
-    edges AS MATERIALIZED (
-        SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
-        FROM bands l JOIN bands r
-          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-             AND l.doc_id <> r.doc_id
-    ),
+    {_star_edges_sql()},
     {_unrolled_cc_sql("documents")},
     final AS (
         SELECT label, MIN(doc_id) AS keep_id, COUNT(*) AS cluster_size
@@ -453,11 +499,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same loop runs with checkpointing per round (localCheckpoint
     here; pass checkpoint_dir for durable checkpoint()).
 
-    Note the oracle intentionally derives edges from the UNCAPPED
-    all-pairs band graph while the Spark side runs the capped star-guard
-    graph (lsh_candidate_pairs): a clique and its star have identical
-    connected components, so a green row here proves the guard is
-    lossless for clustering — not just self-consistent.
+    The oracle derives edges from the UNCAPPED per-bucket star graph
+    (_star_edges_sql) while the Spark side runs the _BUCKET_CAP-guarded
+    mixed clique/star graph (lsh_candidate_pairs): a clique and its star
+    have identical connected components (re-proven on real data by
+    tests/test_dedup.py::test_cc_oracle_star_equals_clique), so a green
+    row here proves the guard is lossless for clustering — not just
+    self-consistent.  The star form keeps the oracle LINEAR in |bands|
+    (the round-6 clique form was quadratic in the largest bucket and
+    exhausted DuckDB temp storage at sf10).
     """
     docs = Tables(spark, sf_dir).documents
     labels = _lsh_cc_labels(docs)
@@ -547,12 +597,7 @@ def _lsh_cc_labels(
         SELECT d.doc_id, d.text FROM documents d JOIN ex ON d.doc_id = ex.doc_id
     ),
     {_bands_sql(src="docs")},
-    edges AS MATERIALIZED (
-        SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
-        FROM bands l JOIN bands r
-          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-             AND l.doc_id <> r.doc_id
-    ),
+    {_star_edges_sql()},
     {_unrolled_cc_sql("docs")},
     final AS (
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS cluster_size

@@ -661,19 +661,18 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from data_bridge_spark.operators.dedup import _bands_sql, _unrolled_cc_sql  # noqa: E402
+from data_bridge_spark.operators.dedup import (  # noqa: E402
+    _bands_sql,
+    _star_edges_sql,
+    _unrolled_cc_sql,
+)
 
 
 @register(
     "split_leakage_free",
     oracle=f"""
     WITH {_bands_sql()},
-    edges AS MATERIALIZED (
-        SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
-        FROM bands l JOIN bands r
-          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-             AND l.doc_id <> r.doc_id
-    ),
+    {_star_edges_sql()},
     {_unrolled_cc_sql("documents")}
     SELECT doc_id, label AS cluster_label,
            CASE WHEN CAST(('0x' || substr(MD5('{_SEED}' || CAST(label AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80

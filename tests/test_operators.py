@@ -331,6 +331,44 @@ def test_table_checksum_detects_single_cell_change(spark, sf_dir):
     assert checksum(tampered) != clean
 
 
+def test_cc_oracle_star_equals_clique():
+    """Round 7 switched the CC closure oracles' edge set from the
+    all-pairs clique (quadratic in the largest LSH bucket — it exhausted
+    DuckDB temp storage at sf10) to the per-bucket star.  Clique and
+    star over the same bucket member set have identical connected
+    components by construction (the hub connects every member); this
+    pins that theorem on real data by running BOTH edge forms through
+    the same unrolled closure in DuckDB at two SFs and asserting
+    identical cluster multisets — so the star oracle still proves the
+    Spark side's _BUCKET_CAP guard lossless, not just self-consistent."""
+    import duckdb
+
+    from data_bridge_spark.operators.dedup import (
+        _bands_sql,
+        _clique_edges_sql,
+        _star_edges_sql,
+        _unrolled_cc_sql,
+    )
+
+    tail = """,
+    final AS (
+        SELECT label, MIN(doc_id) AS keep_id, COUNT(*) AS n
+        FROM lbl GROUP BY label
+    )
+    SELECT keep_id, n FROM final
+    UNION ALL
+    SELECT -1, n FROM not_converged WHERE n > 0"""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        res = {}
+        for kind, edges in (("star", _star_edges_sql()), ("clique", _clique_edges_sql())):
+            sql = f"WITH {_bands_sql()},\n    {edges},\n    {_unrolled_cc_sql('documents')}{tail}"
+            res[kind] = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert res["star"] == res["clique"] and len(res["star"]) > 0, sf
+        assert all(k != -1 for k, _ in res["star"]), f"not converged at {sf}"
+
+
 def test_ppjoin_prefix_filtered_oracle_is_lossless():
     """The registered dedup_ppjoin oracle is prefix-filtered (the
     all-pairs form is O(N²·L) and stalls full sweeps at sf1); this pins
