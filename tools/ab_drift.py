@@ -45,7 +45,13 @@ def main() -> None:
     for tname in TABLE_NAMES:
         t.table(tname).write.format("noop").mode("overwrite").save()
 
-    from data_bridge_spark.session import drop_dead_blocks as _ddb
+    try:
+        from data_bridge_spark.session import drop_dead_blocks as _ddb
+    except ImportError:
+        # older A/B trees predate the shared helper — same semantics inline
+        def _ddb(s) -> None:
+            for rdd in list(s.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist(True)
 
     def drop_dead_blocks() -> None:
         _ddb(spark)

@@ -35,6 +35,10 @@ SUBSET = (
     "dedup_minhash",
     "dedup_minhash_pairs",
     "dedup_verified_pairs",
+    # the iterative CC closure family (round 7: oracle-feasible at every
+    # decade, so the loop's own scaling is now measured, not argued)
+    "dedup_clusters",
+    "split_leakage_free",
     "tpch_q21_waiting",
     "tpch_q18_large_orders",
     "tpch_q5_local_volume",
@@ -45,6 +49,11 @@ SUBSET = (
     "text_quality",
     "events_pivot",
 )
+
+# targeted runs: SCALING_SUBSET=name,name python tools/scaling_curve.py ...
+_env_subset = os.environ.get("SCALING_SUBSET")
+if _env_subset:
+    SUBSET = tuple(n for n in _env_subset.split(",") if n)
 
 
 def main() -> None:
