@@ -973,3 +973,114 @@ def profile_skew_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entry.item").alias("user_id"),
         F.col("entry.count").alias("n_approx"),
     )
+
+
+@register(
+    "stats_mannwhitney",
+    oracle=f"""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS is_a
+        FROM events
+        WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND value IS NOT NULL
+    ),
+    per_v AS (
+        SELECT v, SUM(is_a) AS na_v, SUM(1 - is_a) AS nb_v,
+               COUNT(*) AS tot_v
+        FROM s GROUP BY v
+    ),
+    run AS (
+        SELECT na_v, tot_v,
+               SUM(tot_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot_v AS before_v
+        FROM per_v
+    ),
+    agg AS (
+        SELECT SUM(na_v * (2 * before_v + tot_v + 1)) AS two_r_a,
+               SUM(tot_v * tot_v * tot_v - tot_v) AS ties,
+               SUM(na_v) AS na, SUM(tot_v - na_v) AS nb
+        FROM run
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           (CAST(two_r_a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0 AS u_a,
+           CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+               - (CAST(two_r_a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0 AS u_b,
+           ((CAST(two_r_a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0
+               - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+             / NULLIF(SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                 * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                    - CAST(ties AS DOUBLE)
+                      / NULLIF((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                               * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0), 0.0))), 0.0)
+             AS z
+    FROM agg
+    """,
+    tags=("stats", "drift"),
+)
+def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the purchase and click
+    value distributions — the rank-based location-shift drift test that
+    complements stats_ks (max-CDF-gap): U detects "one population is
+    systematically larger" with distribution-free robustness.
+
+    Exactness: the rank core is PURE INTEGER arithmetic. Tie-averaged
+    midranks are carried doubled (2*midrank = 2*before + t + 1, always
+    an integer), so 2*R_a = SUM(na_v * (2*before_v + tot_v + 1)) is an
+    exact bigint no matter the partitioning; U then comes out as an
+    exact half-integer (halves are exact in binary). The normal
+    approximation z uses the standard tie-corrected variance
+    sigma^2 = na*nb/12 * ((N+1) - SUM(t^3 - t)/(N(N-1))) — division and
+    sqrt on integer-derived doubles, IEEE-correctly-rounded, written as
+    the identical op sequence on both engines; NULLIF guards make the
+    N<=1 and empty-population edges NULL on both.
+
+    Scale shape: same as stats_ks — per-value counts (one shuffle), then
+    the distributed two-level prefix sum replaces the textbook global
+    ordered window, so no single partition ever holds every distinct
+    value."""
+    t = Tables(spark, sf_dir)
+    s = t.events.where(
+        F.col("event_type").isin(_KS_A, _KS_B) & F.col("value").isNotNull()
+    ).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("is_a"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum("is_a").alias("na_v"),
+        F.sum(1 - F.col("is_a")).alias("nb_v"),
+        F.count(F.lit(1)).alias("tot_v"),
+    )
+    run = _bucketed_prefix_sums(per_v, "v", ("tot_v",)).withColumn(
+        "before_v", F.col("run_tot_v") - F.col("tot_v")
+    )
+    agg = run.agg(
+        F.sum(
+            F.col("na_v") * (2 * F.col("before_v") + F.col("tot_v") + 1)
+        ).alias("two_r_a"),
+        F.sum(
+            F.col("tot_v") * F.col("tot_v") * F.col("tot_v") - F.col("tot_v")
+        ).alias("ties"),
+        F.sum("na_v").alias("na"),
+        F.sum(F.col("tot_v") - F.col("na_v")).alias("nb"),
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    u_a = (F.col("two_r_a").cast("double") - nad * (nad + F.lit(1.0))) / F.lit(2.0)
+    mu = nad * nbd / F.lit(2.0)
+    nd = nad + nbd
+    sigma = F.sqrt(
+        nad
+        * nbd
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("ties").cast("double")
+            / F.nullif(nd * (nd - F.lit(1.0)), F.lit(0.0))
+        )
+    )
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        u_a.alias("u_a"),
+        (nad * nbd - u_a).alias("u_b"),
+        ((u_a - mu) / F.nullif(sigma, F.lit(0.0))).alias("z"),
+    )

@@ -57,6 +57,7 @@ _MODULES = (
     "data_bridge_spark.operators.timeseries",
     "data_bridge_spark.operators.linkage",
     "data_bridge_spark.operators.insights",
+    "data_bridge_spark.operators.features",
     "data_bridge_spark.operators.tpch",
 )
 

@@ -39,6 +39,10 @@ ALLOW: dict[str, str] = {
     "agg_benford": "scalar-edge cross join vs the 1-row digit-count total over a 9-row table (broadcast side is O(1))",
     "profile_skew": "scalar-edge cross join vs the 1-row (total, n_keys) aggregate against the top-k survivor set (broadcast side is O(1))",
     "agg_gini": "distributed-CDF prefix sum (stats_ks pattern): cross join vs the 1-row (min,max) aggregate (broadcast side is O(1)); per-bucket windows + bounded offset table replace the global sort the textbook Gini needs",
+    "feature_standardize": "fit/transform scalar edge: cross join vs the 1-row (n, sum, sumsq) fitted-stats aggregate (broadcast side is O(1))",
+    "feature_minmax": "fit/transform scalar edge: cross join vs the 1-row (min, max) fitted-stats aggregate (broadcast side is O(1))",
+    "feature_quantile_bucket": "distributed-CDF prefix sum (stats_ks pattern) plus a scalar-edge cross join vs the 1-row total-count aggregate (broadcast sides are O(1))",
+    "stats_mannwhitney": "distributed-CDF prefix sum (stats_ks pattern): cross join vs the 1-row (min,max) bucket-range aggregate (broadcast side is O(1))",
 }
 
 
