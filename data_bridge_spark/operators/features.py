@@ -313,3 +313,286 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.customer.select(
         "c_custkey", F.explode(lanes).alias("f")
     ).select("c_custkey", "f.feat", "f.bucket", "f.sign")
+
+
+@register(
+    "feature_robust_scale",
+    oracle="""
+    WITH s AS (
+        SELECT c_mktsegment,
+               MEDIAN(c_acctbal) AS med,
+               quantile_cont(c_acctbal, 0.25) AS p25,
+               quantile_cont(c_acctbal, 0.75) AS p75
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           (c.c_acctbal - s.med) / NULLIF(s.p75 - s.p25, 0.0) AS robust_bal
+    FROM customer c JOIN s USING (c_mktsegment)
+    """,
+    tags=("features", "scaling"),
+)
+def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) scaling per category — the outlier-immune
+    sibling of feature_standardize: (x - median) / IQR, fitted per
+    segment. Exact continuous quantiles (F.median/F.percentile match
+    DuckDB's MEDIAN/quantile_cont interpolation exactly — same picks,
+    same single lerp); the low-cardinality fitted-stats table broadcasts
+    back over the fact table, so the transform is map-side. A zero-IQR
+    segment yields NULL via NULLIF on both engines. Exact per-group
+    percentiles sort within groups (bounded group count here);
+    agg_percentile_approx is the unbounded-cardinality sketch path."""
+    t = Tables(spark, sf_dir)
+    s = t.customer.groupBy("c_mktsegment").agg(
+        F.median("c_acctbal").alias("med"),
+        F.percentile("c_acctbal", F.lit(0.25)).alias("p25"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("p75"),
+    )
+    return t.customer.join(F.broadcast(s), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        (
+            (F.col("c_acctbal") - F.col("med"))
+            / F.nullif(F.col("p75") - F.col("p25"), F.lit(0.0))
+        ).alias("robust_bal"),
+    )
+
+
+_CURR_SEED = "curriculum-v1"
+_CURR_BINS = 5
+_CURR_TOPK = 100
+_CURR_SHIFT = 1 << 40  # order_key = bin * 2^40 + 40-bit content hash
+
+
+@register(
+    "curriculum_order",
+    oracle=f"""
+    WITH per_v AS (
+        SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1
+    ),
+    run AS (
+        SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
+        FROM per_v
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    keyed AS (
+        SELECT d.doc_id,
+               CAST(((r.run_cnt - 1) * {_CURR_BINS}) // t.n + 1 AS INTEGER) AS difficulty_bin,
+               CAST(((r.run_cnt - 1) * {_CURR_BINS}) // t.n + 1 AS BIGINT) * {_CURR_SHIFT}
+                   + CAST(('0x' || substr(MD5('{_CURR_SEED}' || CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
+                   AS order_key
+        FROM documents d JOIN run r ON d.n_chars = r.v CROSS JOIN tot t
+    )
+    SELECT doc_id, difficulty_bin, order_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY order_key, doc_id) AS INTEGER) AS curriculum_rank
+    FROM keyed
+    ORDER BY order_key, doc_id
+    LIMIT {_CURR_TOPK}
+    """,
+    tags=("mlprep", "curriculum"),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: documents ordered easy-to-hard (difficulty =
+    length quintile, tie-stable integer-exact binning over the
+    distributed prefix sum) with a deterministic within-bin shuffle —
+    the composite sort key packs (bin, 40-bit content hash) into one
+    bigint, so "write shards in curriculum order" is a single
+    repartitionByRange on order_key with ZERO rank materialization (a
+    global row_number would serialize the corpus through one
+    partition). The schedule itself is previewed top-{_CURR_TOPK}
+    (TakeOrdered — partition-local k) and ranked only within that
+    bounded head, the shuffle_deterministic pattern."""
+    t = Tables(spark, sf_dir)
+    per_v = t.documents.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    run = _bucketed_prefix_sums(per_v, "v", ("cnt",)).select("v", "run_cnt")
+    tot = t.documents.agg(F.count(F.lit(1)).alias("n"))
+    bin_ = (F.expr(f"((run_cnt - 1) * {_CURR_BINS}) div n") + 1)
+    h40 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_CURR_SEED), F.col("doc_id").cast("string"))), 1, 10
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = (
+        t.documents.join(run, F.col("n_chars") == F.col("v"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            bin_.cast("int").alias("difficulty_bin"),
+            (bin_.cast("bigint") * _CURR_SHIFT + h40).alias("order_key"),
+        )
+    )
+    head = keyed.orderBy("order_key", "doc_id").limit(_CURR_TOPK)
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.orderBy("order_key", "doc_id"))
+    return head.select(
+        "doc_id", "difficulty_bin", "order_key", rk.cast("int").alias("curriculum_rank")
+    )
+
+
+_COLL_MIN = 5
+_COLL_TOPK = 20
+
+
+@register(
+    "text_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(LOWER(text), ' ')) AS w FROM documents
+    ),
+    uni AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w),
+    nt AS (SELECT CAST(SUM(n_w) AS DOUBLE) AS n_tok FROM uni),
+    ix AS (
+        SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM (SELECT string_split(LOWER(text), ' ') AS ws FROM documents)
+    ),
+    pairs AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM ix),
+    pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2),
+    np AS (SELECT CAST(SUM(n_pair) AS DOUBLE) AS n_pairs FROM pc),
+    scored AS (
+        SELECT pc.w1, pc.w2, pc.n_pair,
+               (CAST(pc.n_pair AS DOUBLE) / np.n_pairs)
+                   / ((CAST(u1.n_w AS DOUBLE) / nt.n_tok) * (CAST(u2.n_w AS DOUBLE) / nt.n_tok)) AS lift
+        FROM pc
+        JOIN uni u1 ON pc.w1 = u1.w
+        JOIN uni u2 ON pc.w2 = u2.w
+        CROSS JOIN np CROSS JOIN nt
+        WHERE pc.n_pair >= {_COLL_MIN}
+    )
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, lift
+    FROM scored
+    ORDER BY lift DESC, w1, w2
+    LIMIT {_COLL_TOPK}
+    """,
+    tags=("text", "collocations"),
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent bigrams ranked by pointwise-mutual-
+    information LIFT — p(w1w2) / (p(w1)p(w2)) in ratio form (orders
+    identically to PMI; avoiding the log keeps every score two IEEE
+    divisions on exact integer counts — the no-runtime-libm doctrine,
+    same as text_term_lift). Multiword-expression discovery for
+    tokenizer/vocab curation.
+
+    Plan: one tokenize pass feeds both the unigram and the positioned
+    bigram counts (vocabulary-bounded tables); two equi-joins hang the
+    unigram counts onto the pair counts (AQE broadcasts the smaller
+    sides); the two 1-row totals are scalar-edge broadcasts; min-count
+    {_COLL_MIN} prunes the tail before the joins; TakeOrdered yields the
+    global top-{_COLL_TOPK} with a total (lift, w1, w2) tiebreak."""
+    t = Tables(spark, sf_dir)
+    ws = F.split(F.lower(F.col("text")), " ")
+    toks = t.documents.select(F.explode(ws).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    nt = uni.agg(F.sum("n_w").cast("double").alias("n_tok"))
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    pairs = t.documents.select(
+        F.explode(
+            F.arrays_zip(F.slice(ws, 1, n1).alias("w1"), F.slice(ws, 2, n1).alias("w2"))
+        ).alias("pr")
+    ).select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    pc_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    # the lift denominator is the TRUE corpus pair total (pre-filter);
+    # the min-count filter only prunes which pairs are scored
+    np_ = pc_all.agg(F.sum("n_pair").cast("double").alias("n_pairs"))
+    pc = pc_all.where(F.col("n_pair") >= _COLL_MIN)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        pc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (
+                (F.col("n_pair").cast("double") / F.col("n_pairs"))
+                / (
+                    (F.col("n_w1").cast("double") / F.col("n_tok"))
+                    * (F.col("n_w2").cast("double") / F.col("n_tok"))
+                )
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(_COLL_TOPK)
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'totalprice_positive' AS rule, COUNT(*) AS n_checked,
+           CAST(SUM(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+           CAST(SUM(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / NULLIF(COUNT(*), 0) AS fail_rate
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_not_null', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(COUNT(*), 0)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(COUNT(*), 0)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null', COUNT(*),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(COUNT(*), 0)
+    FROM orders
+    """,
+    tags=("dq", "expectations"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (the Great-Expectations/dbt-test
+    shape): each rule is a boolean predicate; the report is one row per
+    rule with checked/failed counts and the failure rate. ALL rules
+    evaluate in ONE scan — each predicate becomes a conditional sum in a
+    single partial aggregate (map-side combined), then the 1-row result
+    unpivots to rule rows; adding a rule adds a column to the aggregate,
+    never a pass over the data. NULL handling is explicit per rule: a
+    NULL that violates the expectation counts as failed (NOT(x>0) alone
+    would skip NULLs).
+
+    Referential rules (FK orphans) live in fk_integrity_audit — same
+    one-scan doctrine across join edges."""
+    t = Tables(spark, sf_dir)
+    rules = {
+        "totalprice_positive": ~(F.col("o_totalprice") > 0)
+        | F.col("o_totalprice").isNull(),
+        "orderdate_not_null": F.col("o_orderdate").isNull(),
+        "status_in_domain": ~F.col("o_orderstatus").isin("F", "O", "P")
+        | F.col("o_orderstatus").isNull(),
+        "custkey_not_null": F.col("o_custkey").isNull(),
+    }
+    agg = t.orders.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"f_{name}")
+            for name, cond in rules.items()
+        ],
+    )
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"f_{name}").alias("n_failed"),
+            )
+            for name in rules
+        ]
+    )
+    return agg.select("n_checked", F.explode(lanes).alias("r")).select(
+        F.col("r.rule").alias("rule"),
+        "n_checked",
+        F.col("r.n_failed").alias("n_failed"),
+        (
+            F.col("r.n_failed").cast("double")
+            / F.nullif(F.col("n_checked"), F.lit(0))
+        ).alias("fail_rate"),
+    )
