@@ -68,6 +68,11 @@ HEADLINE = (
     "text_decontaminate_bloom",
     "snapshot_diff",
     "table_checksum",
+    # r7 additions: feature-engineering family + rank-based drift
+    "feature_target_encode_loo",
+    "feature_quantile_bucket",
+    "stats_mannwhitney",
+    "text_collocations",
 )
 
 
