@@ -1,0 +1,146 @@
+"""Feature-engineering doctrine gates beyond the oracle parity tests
+(test_oracle.py already value-checks every registered query vs DuckDB):
+
+- rank/bucket assignments must be REPARTITIONING-DETERMINISTIC — the
+  same rows land in the same bucket no matter how the input is
+  partitioned (the tie-stable, integer-exact design claim);
+- the fitted-stats broadcast pattern must actually broadcast (no
+  shuffle of the fact table for the transform);
+- degenerate shapes (constant column, singleton category) must yield
+  NULL, not Inf/NaN or a crash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import plan_string
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_quantile_bucket_stable_under_repartitioning(spark, sf_dir):
+    """Decile assignment is a pure function of the value distribution —
+    identical output for any physical partitioning of the input."""
+    from data_bridge_spark.operators.features import feature_quantile_bucket
+
+    base = _rows(feature_quantile_bucket(spark, sf_dir))
+    assert base
+    for n in (1, 3, 17):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            assert _rows(feature_quantile_bucket(spark, sf_dir)) == base, n
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # deciles are contiguous 1..10 and within +-1 of perfectly even
+    from collections import Counter
+
+    c = Counter(r[2] for r in base)
+    assert set(c) == set(range(1, 11))
+    lo, hi = min(c.values()), max(c.values())
+    assert hi - lo <= max(2, len(base) // 100), c
+
+
+def test_curriculum_order_stable_under_repartitioning(spark, sf_dir):
+    """The packed (bin, hash) sort key — and therefore the schedule —
+    never depends on partitioning; bins are non-decreasing along the
+    schedule by construction."""
+    from data_bridge_spark.operators.features import curriculum_order
+
+    base = _rows(curriculum_order(spark, sf_dir))
+    assert base
+    for n in (1, 13):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            assert _rows(curriculum_order(spark, sf_dir)) == base, n
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+    by_rank = sorted(base, key=lambda r: r[3])
+    bins = [r[1] for r in by_rank]
+    assert bins == sorted(bins), "difficulty bins must be non-decreasing along the schedule"
+
+
+def test_standardize_broadcasts_fitted_stats(spark, sf_dir):
+    """The transform side must be a broadcast of the 1-row stats — the
+    fact table is never exchanged for the scale step."""
+    from data_bridge_spark.operators.features import feature_standardize
+
+    plan = plan_string(feature_standardize(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # z-scores of a real column: mean ~0 by construction
+    out = feature_standardize(spark, sf_dir)
+    m = out.agg(F.avg("z_acctbal")).first()[0]
+    assert abs(m) < 1e-9
+
+
+def test_scalers_constant_column_yields_null(spark, sf_dir):
+    """Constant input => zero variance / zero range / zero IQR: every
+    scaler must emit NULL (the NULLIF doctrine), never Inf or NaN."""
+    from data_bridge_spark.functions.exact import dec, dec_to_double, dmoney
+
+    df = spark.range(5).select(F.lit(7.5).alias("x"))
+    stats = df.agg(
+        F.count("x").alias("n"),
+        dec_to_double(F.sum(dec("x")), 6).alias("sx"),
+        dec_to_double(F.sum(dmoney("x") * dmoney("x")), 8).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (
+        (F.col("sxx") / F.col("n") - mean * mean)
+        * F.col("n")
+        / F.nullif(F.col("n") - 1, F.lit(0))
+    )
+    z = df.crossJoin(F.broadcast(stats)).select(
+        ((F.col("x") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))).alias("z")
+    )
+    assert [r.z for r in z.collect()] == [None] * 5
+
+
+def test_target_encode_singleton_category_is_null(spark):
+    """A category with one row has no leave-one-out peers: the encoding
+    must be NULL (n-1 == 0 guard), not a division blowup."""
+    from data_bridge_spark.functions.exact import dec, dec_to_double
+
+    j = spark.createDataFrame(
+        [(1, "solo", 10.0), (2, "pair", 4.0), (3, "pair", 8.0)],
+        "k int, segment string, p double",
+    ).select("k", "segment", dec("p").alias("p"))
+    s = j.groupBy("segment").agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("sp"))
+    out = j.join(F.broadcast(s), "segment").select(
+        "k",
+        (
+            dec_to_double(F.col("sp") - F.col("p"), 6)
+            / F.nullif(F.col("n") - 1, F.lit(0))
+        ).alias("loo"),
+    )
+    got = {r.k: r.loo for r in out.collect()}
+    assert got[1] is None
+    assert got[2] == 8.0 and got[3] == 4.0
+
+
+def test_hashing_trick_is_content_pure(spark, sf_dir):
+    """Bucket/sign are pure functions of (seed, feat, value): the same
+    value always collides with itself, buckets stay in [0, 64), signs
+    in {-1, +1}."""
+    from data_bridge_spark.operators.features import feature_hashing
+
+    out = feature_hashing(spark, sf_dir).collect()
+    assert out
+    seen: dict[tuple, tuple] = {}
+    for r in out:
+        assert 0 <= r.bucket < 64 and r.sign in (-1, 1)
+    # same (feat, custkey-independent value) -> same (bucket, sign):
+    # project back to values via a fresh read
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seg_of = {r.c_custkey: r.c_mktsegment for r in df.collect()}
+    for r in out:
+        if r.feat != "mktsegment":
+            continue
+        key = seg_of[r.c_custkey]
+        if key in seen:
+            assert seen[key] == (r.bucket, r.sign), key
+        else:
+            seen[key] = (r.bucket, r.sign)
+    assert len(seen) >= 2
