@@ -676,3 +676,77 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.* FROM __udtf_src, LATERAL split_charges(o_orderkey, o_totalprice) s"
     )
+
+
+_BJ_SEGMENT = "BUILDING"
+_BJ_M = 1 << 16  # bloom bits (multiple of 64); grows with |dim keys| at scale
+_BJ_K = 3  # probes per key
+
+
+def _bj_pos(key: F.Column, seed: int) -> F.Column:
+    """Bloom probe position for a join key: xxhash64 with a distinct
+    seed, folded into [0, m). JVM-side, codegen'd."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BJ_M))
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = '{_BJ_SEGMENT}'
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an explicit Bloom runtime filter — the
+    relational twin of text_decontaminate_bloom's lane-table pattern, and
+    the hand-rolled form of Spark's own row-level runtime filtering
+    (spark.sql.optimizer.runtime.bloomFilter): when the filtered dim's
+    key set is too large to broadcast as a hash relation but the fact
+    side is huge, fold the keys into an m-bit bitmap stored as (word,
+    64-bit lane) rows — bytes per BIT — and prefilter the fact with k
+    broadcast lane joins + bitwise-AND before the one exact shuffle join
+    that removes the bloom's false positives. The exact join keeps the
+    output value-identical to the plain join (the shared oracle proves
+    it); the bloom only shrinks what the shuffle carries — at 100 TB the
+    exchange carries ~selectivity x fact rows instead of all of them.
+
+    m=2^16/k=3 sizes the demo; production m scales with the dim key
+    count (10^9 bits is still a 16M-row broadcastable lane table)."""
+    t = Tables(spark, sf_dir)
+    dim = t.customer.where(F.col("c_mktsegment") == _BJ_SEGMENT).select(
+        "c_custkey"
+    ).transform(lineage_cut)
+    lanes = (
+        dim.select(
+            F.explode(
+                F.array(*[_bj_pos(F.col("c_custkey"), i) for i in range(_BJ_K)])
+            ).alias("pos")
+        )
+        .select(
+            F.floor(F.col("pos") / 64).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    fact = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    for i in range(_BJ_K):
+        lane = lanes.select(F.col("w").alias(f"w{i}"), F.col("bits").alias(f"bits{i}"))
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos{i}, 64) AS INT))")
+        fact = (
+            fact.withColumn(f"pos{i}", _bj_pos(F.col("o_custkey"), i))
+            .join(
+                F.broadcast(lane),
+                F.floor(F.col(f"pos{i}") / 64) == F.col(f"w{i}"),
+                "inner",
+            )
+            .filter(F.col(f"bits{i}").bitwiseAND(mask) != 0)
+            .drop(f"w{i}", f"bits{i}", f"pos{i}")
+        )
+    return fact.join(dim, fact.o_custkey == dim.c_custkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

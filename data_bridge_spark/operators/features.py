@@ -596,3 +596,64 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("n_checked"), F.lit(0))
         ).alias("fail_rate"),
     )
+
+
+@register(
+    "feature_vector_assemble",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(c_acctbal) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(15,4)) * CAST(c_acctbal AS DECIMAL(15,4))) AS DOUBLE) AS sxx,
+               MIN(c_acctbal) AS vmin, MAX(c_acctbal) AS vmax
+        FROM customer
+    )
+    SELECT c.c_custkey,
+           [ (c.c_acctbal - s.sx / s.n)
+               / NULLIF(SQRT((s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) * s.n / NULLIF(s.n - 1, 0)), 0.0),
+             (c.c_acctbal - s.vmin) / NULLIF(s.vmax - s.vmin, 0.0),
+             CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1.0 ELSE 0.0 END,
+             CASE WHEN c.c_mktsegment = 'BUILDING'   THEN 1.0 ELSE 0.0 END,
+             CASE WHEN c.c_mktsegment = 'FURNITURE'  THEN 1.0 ELSE 0.0 END,
+             CASE WHEN c.c_mktsegment = 'HOUSEHOLD'  THEN 1.0 ELSE 0.0 END,
+             CASE WHEN c.c_mktsegment = 'MACHINERY'  THEN 1.0 ELSE 0.0 END ] AS features
+    FROM customer c CROSS JOIN s
+    """,
+    tags=("features", "assemble"),
+)
+def feature_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector assembly — the terminal step of the feature pipeline: fuse
+    the z-scored and min-max-scaled numeric plus the one-hot flags into
+    ONE array<double> feature column, ready to feed a trainer. The whole
+    pipeline (fit stats + both scalings + encoding + assembly) is a
+    SINGLE plan: one tiny fitted-stats aggregate broadcast back, then
+    pure map-side array construction — the fact table is scanned once
+    for the fit and once for the transform, never shuffled. Every
+    element follows its parent operator's exactness contract (decimal
+    sums, NULLIF degenerate guards); a NULL z (constant column) stays
+    NULL inside the array on both engines."""
+    t = Tables(spark, sf_dir)
+    stats = t.customer.agg(
+        F.count("c_acctbal").alias("n"),
+        dec_to_double(F.sum(dec("c_acctbal")), 6).alias("sx"),
+        dec_to_double(F.sum(dmoney("c_acctbal") * dmoney("c_acctbal")), 8).alias("sxx"),
+        F.min("c_acctbal").alias("vmin"),
+        F.max("c_acctbal").alias("vmax"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (
+        (F.col("sxx") / F.col("n") - mean * mean)
+        * F.col("n")
+        / F.nullif(F.col("n") - 1, F.lit(0))
+    )
+    z = (F.col("c_acctbal") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
+    mm = (F.col("c_acctbal") - F.col("vmin")) / F.nullif(
+        F.col("vmax") - F.col("vmin"), F.lit(0.0)
+    )
+    oh = [
+        F.when(F.col("c_mktsegment") == seg, 1.0).otherwise(0.0)
+        for seg in _SEGMENTS_STATIC
+    ]
+    return t.customer.crossJoin(F.broadcast(stats)).select(
+        "c_custkey", F.array(z, mm, *oh).alias("features")
+    )

@@ -476,3 +476,81 @@ def text_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.col("rk") <= _LIFT_TOPK).select(
         "source", "term", "n_ts", "lift", "rk"
     )
+
+
+_BOILER_MIN_DOCS = 10  # a trigram in >= this many docs of a source is boilerplate
+
+
+@register(
+    "text_boilerplate",
+    oracle=f"""
+    WITH tri AS (
+      SELECT DISTINCT doc_id, source, unnest(list_transform(
+               list_filter(list_zip(words, words[2:], words[3:]), s -> s[3] IS NOT NULL),
+               s -> s[1] || ' ' || s[2] || ' ' || s[3])) AS shingle
+      FROM (SELECT doc_id, source, string_split(LOWER(text), ' ') AS words FROM documents)
+    ),
+    common AS (
+      SELECT source, shingle FROM tri
+      GROUP BY source, shingle
+      HAVING COUNT(*) >= {_BOILER_MIN_DOCS}
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM tri GROUP BY doc_id
+    ),
+    boiler AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+      FROM tri t JOIN common c ON t.source = c.source AND t.shingle = c.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT p.doc_id, p.n_shingles,
+           COALESCE(b.n_boiler, 0) AS n_boiler,
+           CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / NULLIF(p.n_shingles, 0) AS boiler_frac
+    FROM per_doc p LEFT JOIN boiler b USING (doc_id)
+    """,
+    tags=("text", "quality", "boilerplate", "mlprep"),
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection, CCNet-style: a trigram occurring in >=
+    _BOILER_MIN_DOCS distinct documents OF THE SAME SOURCE is boilerplate (nav bars,
+    license headers, template chrome); each document reports its distinct
+    trigram count, boilerplate count, and boilerplate fraction — the
+    removal/filter signal upstream of dedup (boilerplate inflates
+    near-dup similarity between unrelated pages).
+
+    Plan: one tokenize+explode pass -> distinct (doc, source, shingle)
+    grain; the common-shingle table is (source, shingle)-grained and
+    vocabulary-bounded, so the flagging join is an equi-join AQE can
+    broadcast; per-doc counts are map-side-combinable aggregates. The
+    corpus is never joined to itself — boilerplate is a per-source
+    frequency property, not a pairwise one."""
+    t = Tables(spark, sf_dir)
+    from data_bridge_spark.operators.corpus import _ngrams, _words
+
+    tri = t.documents.select(
+        "doc_id", "source", F.explode(_ngrams(_words(F.col("text")), 3)).alias("shingle")
+    ).distinct()
+    common = (
+        tri.groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .select("source", "shingle")
+    )
+    per_doc = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    boiler = (
+        tri.join(common, ["source", "shingle"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        per_doc.join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            (
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n_shingles"), F.lit(0))
+            ).alias("boiler_frac"),
+        )
+    )

@@ -45,6 +45,7 @@ ALLOW: dict[str, str] = {
     "stats_mannwhitney": "distributed-CDF prefix sum (stats_ks pattern): cross join vs the 1-row (min,max) bucket-range aggregate (broadcast side is O(1))",
     "curriculum_order": "distributed-CDF prefix sum (stats_ks pattern) plus a scalar-edge cross join vs the 1-row corpus-count aggregate (broadcast sides are O(1))",
     "text_collocations": "two scalar-edge cross joins vs the 1-row pair-total and token-total aggregates (broadcast sides are O(1))",
+    "feature_vector_assemble": "fit/transform scalar edge: cross join vs the 1-row fitted-stats aggregate (n, sums, min, max) feeding the whole assembled vector (broadcast side is O(1))",
 }
 
 
