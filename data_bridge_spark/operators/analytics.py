@@ -162,8 +162,12 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     -- DuckDB has no width_bucket; arithmetic equivalent for 10 buckets
     -- over [0, 500000), with width_bucket's under/overflow clamp (bucket
-    -- 0 below min, 11 at/above max) so out-of-range values agree too
-    SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 50000) + 1, 0), 11) AS BIGINT) AS bucket,
+    -- 0 below min, 11 at/above max) so out-of-range values agree too.
+    -- NULL must stay NULL: DuckDB's GREATEST ignores NULLs (GREATEST(
+    -- NULL,0)=0) while Spark's width_bucket(NULL)=NULL, so the clamp is
+    -- guarded — the all-NULL degenerate fixture caught the divergence.
+    SELECT CAST(CASE WHEN o_totalprice IS NULL THEN NULL
+                ELSE LEAST(GREATEST(FLOOR(o_totalprice / 50000) + 1, 0), 11) END AS BIGINT) AS bucket,
            COUNT(*) AS n,
            CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
            CAST(MAX(o_totalprice) AS DOUBLE) AS hi

@@ -276,3 +276,25 @@ def stream_drift_counts(events: DataFrame, watermark: str = "1 hour") -> DataFra
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
+
+
+def stream_feature_stats(events: DataFrame) -> DataFrame:
+    """Incremental fitted-scaler statistics — the streaming twin of
+    feature_standardize's FIT stage: per event type, maintain (n, exact
+    sum, exact sum of squares) over `value` as data arrives, so the
+    z-scale parameters are always current without refitting over the
+    corpus. Because the sums are decimal-exact (order- and
+    batch-boundary-insensitive), the streaming result is bit-identical
+    to the batch fit on the same data — asserted in tests — and the
+    map-side transform step consumes the latest stats row exactly as the
+    batch operator does. Unbounded-aggregate (no watermark) in complete
+    mode: state is one row per event type, the same O(categories) bound
+    as the batch fit table."""
+    from data_bridge_spark.functions.exact import dec, dec_to_double, dmoney
+
+    v = F.col("value")
+    return events.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        dec_to_double(F.sum(dec(v)), 6).alias("sx"),
+        dec_to_double(F.sum(dmoney(v) * dmoney(v)), 8).alias("sxx"),
+    )
