@@ -859,3 +859,52 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("within").cast("bigint").alias("n_within"),
         )
     )
+
+
+@register(
+    "events_bitmap_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_d, event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("events", "bitmap", "rollup", "distinct"),
+)
+def events_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable EXACT distinct rollup: weekly distinct users per event
+    type computed from OR-merged DAILY bitmaps — the materialized-rollup
+    pattern for distinct counts, which plain COUNT(DISTINCT) cannot do
+    (distinct counts don't sum; bitmaps OR losslessly). The plan builds
+    the (day, type, bucket)-grain bitmap table first — exactly what a
+    warehouse would persist as its daily cube — then rolls up to weeks
+    with bitmap_or_agg + bitmap_count. The oracle computes the weekly
+    COUNT(DISTINCT) directly from raw rows, proving the daily->weekly
+    merge lossless. Shuffle payload is O(groups x occupied 4KB buckets),
+    never the raw user stream twice; NULL ts/user/type rows are excluded
+    explicitly on both engines (a NULL is not an observation and
+    bitmap_bit_position rejects NULL keys)."""
+    t = Tables(spark, sf_dir)
+    e = t.events.where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_d"),
+        F.to_date("ts").alias("day_d"),
+        "event_type",
+        "user_id",
+    )
+    daily = e.groupBy(
+        "week_d",
+        "day_d",
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    weekly = daily.groupBy("week_d", "event_type", "bkt").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return weekly.groupBy("week_d", "event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )

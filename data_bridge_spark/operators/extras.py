@@ -750,3 +750,32 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(dim, fact.o_custkey == dim.c_custkey).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+@register(
+    "sink_json",
+    # JSON keeps types through an explicit read schema (no stringify, no
+    # inference): the oracle is the plain join the artifact must preserve
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    tags=("sink", "json"),
+)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines serialization sink — the API-handoff twin of sink_csv
+    (A11): write a query result as a single JSON-lines artifact via the
+    distributed writer + coalesce(1), read it back under the WRITER's
+    schema (explicit — schema inference on read is a second engine
+    opinion the round trip must not depend on). The oracle proves the
+    artifact preserved the joined content exactly, types included."""
+    from data_bridge_spark.sinks.writers import write_table
+    from data_bridge_spark.util import tracked_tempdir
+
+    t = Tables(spark, sf_dir)
+    out = t.nation.join(
+        F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name", "r_name")
+    path = tracked_tempdir("dbs_sink_json_") + "/nations.json"
+    write_table(out, path, fmt="json", single_file=True)
+    return spark.read.schema(out.schema).json(path)

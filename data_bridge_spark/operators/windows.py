@@ -152,3 +152,64 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.filter(F.col("event_type") == "view")
         .select("user_id", "event_id", med.alias("med5"))
     )
+
+
+@register(
+    "window_share_of_total",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_regionkey, n.n_name,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev_dec
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT r.r_name, rev.n_name,
+           CAST(rev.rev_dec AS DOUBLE) AS nation_rev,
+           CAST(rev.rev_dec AS DOUBLE)
+               / NULLIF(CAST(SUM(rev.rev_dec) OVER (PARTITION BY rev.n_regionkey) AS DOUBLE), 0.0)
+               AS region_share
+    FROM rev JOIN region r ON rev.n_regionkey = r.r_regionkey
+    """,
+    tags=("window", "ratio-to-report"),
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its REGION's revenue — the
+    classic percent-of-parent window (SUM OVER partition as the
+    denominator). The window runs AFTER aggregation to nation grain (25
+    rows), so the "window over everything" cost is a 25-row exchange,
+    never the fact table: pre-aggregate below the window is the same
+    below-join doctrine as flagship_report. Both the numerator AND the
+    window denominator are decimal-exact (a double window sum would add
+    in engine-specific row order — last-ulp divergence, caught by the
+    oracle on first run); the share is one IEEE division of identical
+    doubles; an all-zero region yields NULL shares via NULLIF on both
+    engines."""
+    t = Tables(spark, sf_dir)
+    from data_bridge_spark.functions.exact import dec, dec_to_double
+
+    rev = (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey", "n_name")
+        # the window denominator sums DECIMALS (order-insensitive): a
+        # double window sum would add in engine-specific row order and
+        # diverge in the last ulp
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    w = W.partitionBy("n_regionkey")
+    return rev.join(
+        F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(
+        "r_name",
+        "n_name",
+        dec_to_double(F.col("rev_dec"), 6).alias("nation_rev"),
+        (
+            dec_to_double(F.col("rev_dec"), 6)
+            / F.nullif(dec_to_double(F.sum("rev_dec").over(w), 6), F.lit(0.0))
+        ).alias("region_share"),
+    )
