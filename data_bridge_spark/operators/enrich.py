@@ -908,3 +908,45 @@ def events_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.groupBy("week_d", "event_type").agg(
         F.sum(F.bitmap_count("bm")).alias("n_users")
     )
+
+
+@register(
+    "events_hll_rollup",
+    oracle=None,  # sketch estimates are engine-specific -> rows-only;
+    # the merge-consistency and accuracy bounds are pytest-gated
+    # (tests/test_features.py) against events_bitmap_rollup's exact twin
+    tags=("events", "hll", "rollup", "approx"),
+)
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate twin of events_bitmap_rollup: weekly distinct users
+    per event type from UNION-merged DAILY HLL sketches (hll_sketch_agg
+    -> hll_union_agg -> hll_sketch_estimate). The sketch path is the
+    sparse/string-key regime where 4KB-per-bucket bitmaps stop paying:
+    constant ~KB state per (group, day) regardless of key type or
+    density, merge still lossless W.R.T. the sketch's own estimate.
+    Rows-only by design; pytest gates the estimate against the exact
+    bitmap rollup (3x the sketch's standard error) and pins
+    merge-consistency (union of dailies == direct weekly sketch)."""
+    t = Tables(spark, sf_dir)
+    e = t.events.where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_d"),
+        F.to_date("ts").alias("day_d"),
+        "event_type",
+        "user_id",
+    )
+    daily = e.groupBy("week_d", "day_d", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("week_d", "event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            "week_d",
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("n_users_approx"),
+        )
+    )

@@ -144,3 +144,61 @@ def test_hashing_trick_is_content_pure(spark, sf_dir):
         else:
             seen[key] = (r.bucket, r.sign)
     assert len(seen) >= 2
+
+
+def test_hll_rollup_tracks_exact_and_merges_consistently(spark, sf_dir):
+    """events_hll_rollup (sketch) vs events_bitmap_rollup (exact): every
+    weekly estimate within 3x HLL standard error (lgConfigK=12 default
+    -> rse ~1.04/sqrt(2^12) ~1.6%); and the daily->weekly union equals
+    the direct weekly sketch estimate (merge consistency)."""
+    from data_bridge_spark.registry import load_all
+
+    reg = load_all()
+    approx = {
+        (r.week_d, r.event_type): r.n_users_approx
+        for r in reg["events_hll_rollup"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.week_d, r.event_type): r.n_users
+        for r in reg["events_bitmap_rollup"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    tol = 3 * 1.04 / (2**12) ** 0.5
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(1.0, tol * exact[k]), (k, est, exact[k])
+    # merge consistency: direct weekly sketch == union-of-dailies
+    from data_bridge_spark.catalog import Tables
+
+    e = Tables(spark, sf_dir).events.where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_d"),
+        "event_type",
+        "user_id",
+    )
+    direct = {
+        (r.week_d, r.event_type): r.n
+        for r in e.groupBy("week_d", "event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n"))
+        .collect()
+    }
+    assert direct == approx
+
+
+def test_bloom_prefilter_lanes_broadcast_and_output_matches_plain_join(spark, sf_dir):
+    """All k lane joins must be broadcast hash joins (the fact side never
+    shuffles for the prefilter); the final exact join removes every
+    bloom false positive — output equals the plain join."""
+    from data_bridge_spark.operators.extras import join_bloom_prefilter
+
+    df = join_bloom_prefilter(spark, sf_dir)
+    plan = plan_string(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    t_cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    t_ord = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plain = (
+        t_ord.join(t_cust, t_ord.o_custkey == t_cust.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    assert _rows(df) == _rows(plain)
