@@ -608,16 +608,22 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(c_acctbal) AS vmin, MAX(c_acctbal) AS vmax
         FROM customer
     )
-    SELECT c.c_custkey,
-           [ (c.c_acctbal - s.sx / s.n)
-               / NULLIF(SQRT((s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) * s.n / NULLIF(s.n - 1, 0)), 0.0),
-             (c.c_acctbal - s.vmin) / NULLIF(s.vmax - s.vmin, 0.0),
-             CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1.0 ELSE 0.0 END,
-             CASE WHEN c.c_mktsegment = 'BUILDING'   THEN 1.0 ELSE 0.0 END,
-             CASE WHEN c.c_mktsegment = 'FURNITURE'  THEN 1.0 ELSE 0.0 END,
-             CASE WHEN c.c_mktsegment = 'HOUSEHOLD'  THEN 1.0 ELSE 0.0 END,
-             CASE WHEN c.c_mktsegment = 'MACHINERY'  THEN 1.0 ELSE 0.0 END ] AS features
-    FROM customer c CROSS JOIN s
+    , vec AS (
+        SELECT c.c_custkey,
+               [ (c.c_acctbal - s.sx / s.n)
+                   / NULLIF(SQRT((s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) * s.n / NULLIF(s.n - 1, 0)), 0.0),
+                 (c.c_acctbal - s.vmin) / NULLIF(s.vmax - s.vmin, 0.0),
+                 CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1.0 ELSE 0.0 END,
+                 CASE WHEN c.c_mktsegment = 'BUILDING'   THEN 1.0 ELSE 0.0 END,
+                 CASE WHEN c.c_mktsegment = 'FURNITURE'  THEN 1.0 ELSE 0.0 END,
+                 CASE WHEN c.c_mktsegment = 'HOUSEHOLD'  THEN 1.0 ELSE 0.0 END,
+                 CASE WHEN c.c_mktsegment = 'MACHINERY'  THEN 1.0 ELSE 0.0 END ] AS features
+        FROM customer c CROSS JOIN s
+    )
+    SELECT c_custkey,
+           CAST(unnest(generate_series(0, len(features) - 1)) AS INTEGER) AS feature_idx,
+           unnest(features) AS value
+    FROM vec
     """,
     tags=("features", "assemble"),
 )
@@ -631,7 +637,9 @@ def feature_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the fit and once for the transform, never shuffled. Every
     element follows its parent operator's exactness contract (decimal
     sums, NULLIF degenerate guards); a NULL z (constant column) stays
-    NULL inside the array on both engines."""
+    NULL inside the array on both engines. The registered output edge
+    posexplodes to long form (the driver contract forbids raw array
+    columns on oracled queries — embed_centroid convention)."""
     t = Tables(spark, sf_dir)
     stats = t.customer.agg(
         F.count("c_acctbal").alias("n"),
@@ -654,6 +662,13 @@ def feature_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_mktsegment") == seg, 1.0).otherwise(0.0)
         for seg in _SEGMENTS_STATIC
     ]
-    return t.customer.crossJoin(F.broadcast(stats)).select(
+    vec = t.customer.crossJoin(F.broadcast(stats)).select(
         "c_custkey", F.array(z, mm, *oh).alias("features")
+    )
+    # output edge: the driver's canonicalizer cannot hash raw array
+    # columns (registry rule — see test_registry), so the registered
+    # query emits the vector long-form (custkey, feature_idx, value);
+    # the array itself is the in-plan shape a trainer would consume
+    return vec.select(
+        "c_custkey", F.posexplode("features").alias("feature_idx", "value")
     )
