@@ -474,3 +474,74 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t3").alias("purchase_in_window"),
         )
     )
+
+
+@register(
+    "events_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day_d
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    grp AS (
+        SELECT user_id, day_d,
+               day_d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_d) AS INTEGER) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor,
+               CAST(COUNT(*) AS BIGINT) AS streak_len,
+               MIN(day_d) AS streak_start, MAX(day_d) AS streak_end
+        FROM grp GROUP BY user_id, anchor
+    ),
+    ranked AS (
+        SELECT user_id, streak_len, streak_start, streak_end,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY streak_len DESC, streak_start ASC
+               ) AS rk
+        FROM streaks
+    )
+    SELECT user_id, streak_len, streak_start, streak_end
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("events", "streaks", "gaps-islands"),
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern (engagement/retention metric): distinct
+    active days, anchor = day - row_number (constant within a run of
+    consecutive days), then the longest island per user with an
+    earliest-start tiebreak so ties are total.
+
+    Scale shape: ONE exchange on user_id serves the distinct, the
+    anchor window, and both group-bys (Catalyst reuses the partitioning)
+    — per-user day counts are bounded by the calendar, so no partition
+    outgrows memory no matter the corpus. All arithmetic is integer
+    date math: bit-free exact on both engines; NULL ts/user rows are
+    excluded explicitly (a NULL is not an active day)."""
+    t = Tables(spark, sf_dir)
+    days = (
+        t.events.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day_d"))
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day_d"))
+    grp = days.select(
+        "user_id", "day_d", F.date_sub(F.col("day_d"), rn).alias("anchor")
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day_d").alias("streak_start"),
+        F.max("day_d").alias("streak_end"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy(
+            F.col("streak_len").desc(), F.col("streak_start").asc()
+        )
+    )
+    return (
+        streaks.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select("user_id", "streak_len", "streak_start", "streak_end")
+    )

@@ -814,3 +814,70 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         quota.alias("quota_docs"),
         (quota > F.col("n_docs")).alias("needs_repeat"),
     )
+
+
+@register(
+    "mlprep_near_dup_weights",
+    oracle=None,  # placeholder replaced below by a module-level re-registration
+    tags=("mlprep", "dedup", "weights"),
+)
+def mlprep_near_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates (dedup_pipeline's
+    keep-one), DOWN-WEIGHT them — every document keeps weight
+    1/|its near-dup cluster|, so each distinct content contributes unit
+    mass to the training mix regardless of how many near-copies exist.
+    The modern alternative to hard dedup when duplicates carry signal
+    (popularity) but must not dominate the loss.
+
+    Plan: the same LSH -> connected-components labels as dedup_clusters
+    (`_lsh_cc_labels` — iterative min-label propagation, O(diameter)
+    rounds, per-round lineage cuts), then one count per label broadcast
+    back onto the doc-grain label table. weight = 1.0/n is one IEEE
+    division of identical integers — bit-identical across engines. The
+    oracle rides the same star-edge unrolled-CC CTE chain with the
+    fixpoint witness (non-convergence poisons the compare rather than
+    passing a truncated closure)."""
+    from data_bridge_spark.operators.dedup import _lsh_cc_labels
+
+    docs = Tables(spark, sf_dir).documents
+    labels = _lsh_cc_labels(docs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+    )
+
+
+def _near_dup_weights_oracle() -> str:
+    from data_bridge_spark.operators.dedup import (
+        _bands_sql,
+        _star_edges_sql,
+        _unrolled_cc_sql,
+    )
+
+    return f"""
+    WITH {_bands_sql()},
+    {_star_edges_sql()},
+    {_unrolled_cc_sql("documents")},
+    sizes AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM lbl GROUP BY label
+    )
+    SELECT l.doc_id, s.cluster_size, 1.0 / s.cluster_size AS weight
+    FROM lbl l JOIN sizes s USING (label)
+    UNION ALL
+    SELECT -1, n, -1.0 FROM not_converged WHERE n > 0
+    """
+
+
+# late-bind the oracle (the CC SQL helpers live in dedup.py; importing
+# them at module top would be circular — dedup imports nothing from
+# mlprep, but registration order in registry._MODULES loads dedup first,
+# so binding here is safe and keeps one source of truth for the CTEs)
+from data_bridge_spark.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["mlprep_near_dup_weights"] = _dc.replace(
+    _REG["mlprep_near_dup_weights"], oracle=_near_dup_weights_oracle()
+)
