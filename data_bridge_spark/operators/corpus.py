@@ -561,3 +561,63 @@ def corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _QUOTA_PER_SOURCE)
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle="""
+    WITH tri AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               list_filter(list_zip(words, words[2:], words[3:]), s -> s[3] IS NOT NULL),
+               s -> s[1] || ' ' || s[2] || ' ' || s[3])) AS shingle
+      FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS words FROM documents)
+    ),
+    first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM tri GROUP BY shingle
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / NULLIF(COUNT(*), 0) AS novelty
+    FROM tri t JOIN first_seen f USING (shingle)
+    GROUP BY t.doc_id
+    """,
+    tags=("corpus", "novelty", "diversity", "mlprep"),
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve: per document, the fraction of its distinct
+    trigrams whose FIRST appearance (in ingest order = doc_id) is this
+    document — the diminishing-returns signal behind "is more of this
+    crawl still adding new content?" and per-source novelty budgeting.
+    A doc of pure boilerplate scores ~0; genuinely new text scores ~1.
+
+    Plan: one tokenize pass to distinct (doc, shingle); first_seen is a
+    MIN aggregate on the shingle key (vocabulary-bounded); the flagging
+    join is the same equi-join as text_boilerplate's and the per-doc
+    report is one map-side-combinable aggregate. No self-join, no
+    window over the corpus; ingest order is data (doc_id), not
+    partitioning."""
+    t = Tables(spark, sf_dir)
+    tri = t.documents.select(
+        "doc_id", F.explode(_ngrams(_words(F.col("text")), 3)).alias("shingle")
+    ).distinct()
+    first_seen = tri.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tri.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.nullif(F.col("n_shingles"), F.lit(0))
+            ).alias("novelty"),
+        )
+    )

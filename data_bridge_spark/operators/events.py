@@ -545,3 +545,77 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("user_id", "streak_len", "streak_start", "streak_end")
     )
+
+
+@register(
+    "events_pareto_users",
+    oracle="""
+    WITH per_u AS (
+        SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS v_dec
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT user_id, v_dec,
+               SUM(v_dec) OVER (ORDER BY v_dec DESC, user_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_dec,
+               CAST(ROW_NUMBER() OVER (ORDER BY v_dec DESC, user_id ASC) AS BIGINT) AS rk
+        FROM per_u
+    ),
+    tot AS (SELECT SUM(v_dec) AS t_dec, COUNT(*) AS n_users FROM per_u)
+    SELECT r.rk, r.user_id,
+           CAST(r.v_dec AS DOUBLE) AS user_value,
+           CAST(r.run_dec AS DOUBLE) / CAST(t.t_dec AS DOUBLE) AS cum_share,
+           CAST(r.rk AS DOUBLE) / t.n_users AS user_frac
+    FROM ranked r CROSS JOIN tot t
+    WHERE CAST(r.run_dec - r.v_dec AS DOUBLE) / CAST(t.t_dec AS DOUBLE) < 0.8
+    """,
+    tags=("events", "pareto", "concentration"),
+)
+def events_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage: the smallest set of top purchasers covering 80%
+    of purchase value (the 80/20 concentration report — who to interview
+    before changing checkout, which keys to salt before joining). A user
+    is in the set while the share BEFORE them is < 0.8, so the set is
+    minimal and uniquely determined by the total (value desc, user asc)
+    order. Per-user sums and the running numerator are decimal-exact
+    (order-insensitive); shares divide identical doubles.
+
+    Scale note: the ranked running sum is a global ordered window over
+    the PER-USER aggregate (|users| rows, not events); for key spaces
+    too large for that, profile_skew's top-k and the bucketed prefix sum
+    (stats_ks pattern) are the registered unbounded-cardinality paths —
+    this operator's contract is the exact minimal covering set."""
+    t = Tables(spark, sf_dir)
+    from data_bridge_spark.functions.exact import dec, dec_to_double
+
+    per_u = (
+        t.events.where(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.sum(dec("value")).alias("v_dec"))
+    )
+    w = W.orderBy(F.col("v_dec").desc(), F.col("user_id").asc())
+    ranked = per_u.select(
+        "user_id",
+        "v_dec",
+        F.sum("v_dec").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("run_dec"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+    tot = per_u.agg(F.sum("v_dec").alias("t_dec"), F.count(F.lit(1)).alias("n_users"))
+    t_d = dec_to_double(F.col("t_dec"), 6)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(dec_to_double(F.col("run_dec") - F.col("v_dec"), 6) / t_d < 0.8)
+        .select(
+            "rk",
+            "user_id",
+            dec_to_double(F.col("v_dec"), 6).alias("user_value"),
+            (dec_to_double(F.col("run_dec"), 6) / t_d).alias("cum_share"),
+            (F.col("rk").cast("double") / F.col("n_users")).alias("user_frac"),
+        )
+    )

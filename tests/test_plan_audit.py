@@ -46,6 +46,7 @@ ALLOW: dict[str, str] = {
     "curriculum_order": "distributed-CDF prefix sum (stats_ks pattern) plus a scalar-edge cross join vs the 1-row corpus-count aggregate (broadcast sides are O(1))",
     "text_collocations": "two scalar-edge cross joins vs the 1-row pair-total and token-total aggregates (broadcast sides are O(1))",
     "feature_vector_assemble": "fit/transform scalar edge: cross join vs the 1-row fitted-stats aggregate (n, sums, min, max) feeding the whole assembled vector (broadcast side is O(1))",
+    "events_pareto_users": "scalar-edge cross join vs the 1-row (grand total, user count) aggregate (broadcast side is O(1)); the ordered window runs over the per-user aggregate, documented exact-small-keyspace contract",
 }
 
 
