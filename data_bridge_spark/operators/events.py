@@ -514,9 +514,12 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive days), then the longest island per user with an
     earliest-start tiebreak so ties are total.
 
-    Scale shape: ONE exchange on user_id serves the distinct, the
-    anchor window, and both group-bys (Catalyst reuses the partitioning)
-    — per-user day counts are bounded by the calendar, so no partition
+    Scale shape: two exchanges, both cheap — the distinct's shuffle
+    carries map-side-combined (user, day) pairs (bounded by users x
+    calendar, far below event count), then the tiny distinct-days table
+    re-shuffles on user_id once and that partitioning serves the anchor
+    window, both group-bys, and the final ranking (Catalyst subset-key
+    reuse). Per-user day counts are calendar-bounded, so no partition
     outgrows memory no matter the corpus. All arithmetic is integer
     date math: bit-free exact on both engines; NULL ts/user rows are
     excluded explicitly (a NULL is not an active day)."""
