@@ -161,17 +161,19 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
     )
-    fine = lineage_cut(
-        joined.groupBy("region", "nation").agg(
-            F.count(F.lit(1)).alias("n0"), F.sum(dec("c_acctbal")).alias("s0")
-        )
+    fine = joined.groupBy("region", "nation").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum(dec("c_acctbal")).alias("s0")
     )
     rolled = fine.rollup("region", "nation").agg(
         F.sum("n0").alias("n_customers"),
         dec_to_double(F.sum("s0").cast("decimal(28,6)")).alias("sum_acctbal"),
     )
+    # emptiness probe rides a collect-limit on the JOIN INPUT (fine is
+    # empty iff joined is): near-free on populated data, and it removes
+    # the r7 localCheckpoint materialization that cost agg_rollup 1.7x
+    # (fine had two consumers; now it has one and needs no cut)
     empty_total = (
-        fine.agg(F.count(F.lit(1)).alias("__k"))
+        joined.limit(1).agg(F.count(F.lit(1)).alias("__k"))
         .filter(F.col("__k") == 0)
         .select(
             F.lit(None).cast("string").alias("region"),

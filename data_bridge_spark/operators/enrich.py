@@ -440,13 +440,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial table, and the standard-mandated grand-total row on EMPTY
     input (count 0, NULL sum — Spark's keyed aggregate drops it, DuckDB
     keeps it) is reinstated from the same cut partials."""
-    from data_bridge_spark.session import lineage_cut
-
     t = Tables(spark, sf_dir)
-    fine = lineage_cut(
-        t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
-            F.count(F.lit(1)).alias("n0"), F.sum(dec("l_quantity")).alias("s0")
-        )
+    fine = t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum(dec("l_quantity")).alias("s0")
     )
     sets = fine.groupingSets(
         [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
@@ -456,8 +452,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n0").alias("n"),
         dec_to_double(F.sum("s0").cast("decimal(28,6)")).alias("sum_qty"),
     )
+    # probe the SOURCE with a collect-limit (fine is empty iff lineitem
+    # is): no localCheckpoint, no second pass (see agg_rollup)
     empty_total = (
-        fine.agg(F.count(F.lit(1)).alias("__k"))
+        t.lineitem.limit(1).agg(F.count(F.lit(1)).alias("__k"))
         .filter(F.col("__k") == 0)
         .select(
             F.lit(None).cast("string").alias("l_returnflag"),

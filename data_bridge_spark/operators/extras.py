@@ -164,10 +164,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUPING()s = 1) is reinstated from the same partials — Spark's
     keyed aggregate alone would emit nothing (see agg_rollup)."""
     t = Tables(spark, sf_dir)
-    fine = lineage_cut(
-        t.orders.groupBy("o_orderstatus", "o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n0"), F.sum(dec("o_totalprice")).alias("s0")
-        )
+    fine = t.orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum(dec("o_totalprice")).alias("s0")
     )
     cub = (
         fine.cube("o_orderstatus", "o_orderpriority")
@@ -186,8 +184,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+    # probe the SOURCE with a collect-limit (fine is empty iff orders
+    # is): no localCheckpoint, no second pass (see agg_rollup)
     empty_total = (
-        fine.agg(F.count(F.lit(1)).alias("__k"))
+        t.orders.limit(1).agg(F.count(F.lit(1)).alias("__k"))
         .filter(F.col("__k") == 0)
         .select(
             F.lit(None).cast("string").alias("status"),
