@@ -679,7 +679,10 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BJ_SEGMENT = "BUILDING"
-_BJ_M = 1 << 16  # bloom bits (multiple of 64); grows with |dim keys| at scale
+_BJ_M = 1 << 20  # bloom bits (multiple of 64); sized so k*n/m stays small
+# (~30k BUILDING keys at sf0.1 -> FP ~6e-4; the 2^16 first draft had a
+# 42% FP rate — a prefilter that barely filters. m grows with |dim keys|
+# at scale: 10^9 bits is a 16M-row lane table, still broadcastable.)
 _BJ_K = 3  # probes per key
 
 
