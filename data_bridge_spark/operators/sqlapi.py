@@ -247,3 +247,72 @@ def scalar_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("utc_offset_hours"),
     )
+
+
+@register(
+    "sql_pivot",
+    # DuckDB's PIVOT emits dynamic columns; the oracle uses the portable
+    # CASE-sum form with the same decimal-exact measures and 0-fill
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS urgent,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS medium,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("sql", "pivot"),
+)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-syntax PIVOT (the `FROM ... PIVOT (agg FOR col IN (...))`
+    clause) — API parity for users who pivot in SQL text rather than via
+    DataFrame .pivot() (events_pivot/events_pivot_dynamic cover that
+    path). Same engine contract: explicit value list (plan-time schema),
+    decimal-exact sums collapsed to double, absent cells 0-filled. The
+    physical plan is the identical single partial-agg Expand the
+    DataFrame form produces."""
+    Tables(spark, sf_dir).view("orders")
+    return spark.sql("""
+        SELECT o_orderstatus,
+               CAST(COALESCE(urgent_d, 0) AS DOUBLE) AS urgent,
+               CAST(COALESCE(medium_d, 0) AS DOUBLE) AS medium,
+               CAST(COALESCE(low_d, 0) AS DOUBLE) AS low
+        FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(o_totalprice AS DECIMAL(18,6)) AS p
+            FROM orders
+        )
+        PIVOT (
+            SUM(p) FOR o_orderpriority IN (
+                '1-URGENT' AS urgent_d, '3-MEDIUM' AS medium_d, '5-LOW' AS low_d
+            )
+        )
+    """)
+
+
+@register(
+    "sql_lateral_explode",
+    oracle="""
+    SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT doc_id, unnest(string_split(LOWER(text), ' ')) AS term
+        FROM documents
+    ) t
+    WHERE doc_id < 50
+    GROUP BY doc_id, t.term
+    """,
+    tags=("sql", "lateral", "explode"),
+)
+def sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode through the SQL front end — the HiveQL-
+    lineage table-generating-function syntax (API parity with the
+    DataFrame F.explode path used throughout text/*). Per-doc term
+    counts over a bounded doc slice; the Generate node pipelines inside
+    the scan stage, one exchange for the count."""
+    Tables(spark, sf_dir).view("documents")
+    return spark.sql("""
+        SELECT doc_id, term, COUNT(*) AS n
+        FROM documents
+        LATERAL VIEW explode(split(lower(text), ' ')) x AS term
+        WHERE doc_id < 50
+        GROUP BY doc_id, term
+    """)
