@@ -715,8 +715,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     it); the bloom only shrinks what the shuffle carries — at 100 TB the
     exchange carries ~selectivity x fact rows instead of all of them.
 
-    m=2^16/k=3 sizes the demo; production m scales with the dim key
-    count (10^9 bits is still a 16M-row broadcastable lane table)."""
+    m=2^20/k=3 sizes the demo (~30k keys -> FP ~6e-4; the 2^16 first
+    draft saturated to a 42% FP rate); production m scales with the dim
+    key count (10^9 bits is still a 16M-row broadcastable lane table)."""
     t = Tables(spark, sf_dir)
     dim = t.customer.where(F.col("c_mktsegment") == _BJ_SEGMENT).select(
         "c_custkey"

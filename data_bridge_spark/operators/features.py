@@ -169,13 +169,14 @@ def feature_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_quantile_bucket",
     oracle="""
     WITH per_v AS (
-        SELECT o_totalprice AS v, COUNT(*) AS cnt FROM orders GROUP BY 1
+        SELECT o_totalprice AS v, COUNT(*) AS cnt FROM orders
+        WHERE o_totalprice IS NOT NULL GROUP BY 1
     ),
     run AS (
         SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
         FROM per_v
     ),
-    tot AS (SELECT COUNT(*) AS n FROM orders)
+    tot AS (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice IS NOT NULL)
     SELECT o.o_orderkey, o.o_totalprice,
            CAST(((r.run_cnt - 1) * 10) // t.n + 1 AS INTEGER) AS decile
     FROM orders o JOIN run r ON o.o_totalprice = r.v CROSS JOIN tot t
@@ -196,11 +197,15 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket in parallel, then one equi-join on the value assigns rows —
     AQE broadcasts the distinct-value side when it is small."""
     t = Tables(spark, sf_dir)
-    per_v = t.orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+    # NULL prices are excluded up front: Spark windows sort NULLs first
+    # while DuckDB sorts them last, so letting a NULL into the prefix sum
+    # would shift every cumulative count (and decile) by the NULL count.
+    nn = t.orders.filter(F.col("o_totalprice").isNotNull())
+    per_v = nn.groupBy(F.col("o_totalprice").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
     run = _bucketed_prefix_sums(per_v, "v", ("cnt",)).select("v", "run_cnt")
-    tot = t.orders.agg(F.count(F.lit(1)).alias("n"))
+    tot = nn.agg(F.count(F.lit(1)).alias("n"))
     return (
         t.orders.join(run, F.col("o_totalprice") == F.col("v"))
         .crossJoin(F.broadcast(tot))
@@ -368,13 +373,14 @@ _CURR_SHIFT = 1 << 40  # order_key = bin * 2^40 + 40-bit content hash
     "curriculum_order",
     oracle=f"""
     WITH per_v AS (
-        SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1
+        SELECT n_chars AS v, COUNT(*) AS cnt FROM documents
+        WHERE n_chars IS NOT NULL GROUP BY 1
     ),
     run AS (
         SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
         FROM per_v
     ),
-    tot AS (SELECT COUNT(*) AS n FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM documents WHERE n_chars IS NOT NULL),
     keyed AS (
         SELECT d.doc_id,
                CAST(((r.run_cnt - 1) * {_CURR_BINS}) // t.n + 1 AS INTEGER) AS difficulty_bin,
@@ -403,11 +409,14 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrdered — partition-local k) and ranked only within that
     bounded head, the shuffle_deterministic pattern."""
     t = Tables(spark, sf_dir)
-    per_v = t.documents.groupBy(F.col("n_chars").alias("v")).agg(
+    # NULL lengths excluded up front — same NULLS FIRST (Spark) vs NULLS
+    # LAST (DuckDB) window divergence as feature_quantile_bucket.
+    nn = t.documents.filter(F.col("n_chars").isNotNull())
+    per_v = nn.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
     run = _bucketed_prefix_sums(per_v, "v", ("cnt",)).select("v", "run_cnt")
-    tot = t.documents.agg(F.count(F.lit(1)).alias("n"))
+    tot = nn.agg(F.count(F.lit(1)).alias("n"))
     bin_ = (F.expr(f"((run_cnt - 1) * {_CURR_BINS}) div n") + 1)
     h40 = F.conv(
         F.substring(

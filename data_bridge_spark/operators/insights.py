@@ -1056,8 +1056,12 @@ def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("na_v") * (2 * F.col("before_v") + F.col("tot_v") + 1)
         ).alias("two_r_a"),
+        # t^3 in decimal(38,0): a single value with >2^21 tied rows would
+        # silently wrap a bigint cube on Spark while DuckDB promotes to
+        # HUGEINT — decimal keeps the term exact (and loud past 38 digits)
         F.sum(
-            F.col("tot_v") * F.col("tot_v") * F.col("tot_v") - F.col("tot_v")
+            F.col("tot_v").cast("decimal(38,0)") * F.col("tot_v") * F.col("tot_v")
+            - F.col("tot_v")
         ).alias("ties"),
         F.sum("na_v").alias("na"),
         F.sum(F.col("tot_v") - F.col("na_v")).alias("nb"),

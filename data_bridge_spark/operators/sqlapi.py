@@ -271,11 +271,15 @@ def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical plan is the identical single partial-agg Expand the
     DataFrame form produces."""
     Tables(spark, sf_dir).view("orders")
+    # The decimal->double collapse uses the unscaled/divide form (the SQL
+    # spelling of functions/exact.py dec_to_double): Spark's native
+    # CAST(decimal AS DOUBLE) drifts an ulp from DuckDB once the unscaled
+    # value passes 2^53, which the big status x priority cells do at sf1.
     return spark.sql("""
         SELECT o_orderstatus,
-               CAST(COALESCE(urgent_d, 0) AS DOUBLE) AS urgent,
-               CAST(COALESCE(medium_d, 0) AS DOUBLE) AS medium,
-               CAST(COALESCE(low_d, 0) AS DOUBLE) AS low
+               CAST(CAST(COALESCE(urgent_d, 0) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0 AS urgent,
+               CAST(CAST(COALESCE(medium_d, 0) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0 AS medium,
+               CAST(CAST(COALESCE(low_d, 0) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0 AS low
         FROM (
             SELECT o_orderstatus, o_orderpriority,
                    CAST(o_totalprice AS DECIMAL(18,6)) AS p
