@@ -350,7 +350,10 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id, no join at all. Scales as any window op does; a
     stream-stream formulation is the time-bounded join in streaming/."""
     t = Tables(spark, sf_dir)
-    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    # asc_nulls_last: NULL-ts rows sort LAST as in the oracle (Spark ASC
+    # defaults to NULLS FIRST, DuckDB to NULLS LAST — mixed-NULL ts would
+    # otherwise shift every IGNORE NULLS walk by the NULL block)
+    order = [F.col("ts").asc_nulls_last(), F.col("event_id").asc()]
     p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
     w_back = (
         Window.partitionBy("user_id").orderBy(*order)
@@ -674,7 +677,9 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = (
         Window.partitionBy("c_nationkey")
-        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+        # asc_nulls_last matches DuckDB's default NULL order; Spark's ASC
+        # default (NULLS FIRST) would rank NULL balances lowest instead
+        .orderBy(F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey").asc())
     )
     return t.customer.select(
         "c_custkey",
@@ -849,7 +854,12 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.select(
             F.least("source_a", "source_b").alias("src_lo"),
             F.greatest("source_a", "source_b").alias("src_hi"),
-            (F.col("source_a") == F.col("source_b")).cast("int").alias("within"),
+            # coalesce(0): a NULL source makes the equality NULL, and a
+            # group of only-NULL comparisons would SUM to NULL where the
+            # oracle's COUNT(CASE WHEN a=b THEN 1 END) gives 0
+            F.coalesce(
+                (F.col("source_a") == F.col("source_b")).cast("int"), F.lit(0)
+            ).alias("within"),
         )
         .groupBy("src_lo", "src_hi")
         .agg(

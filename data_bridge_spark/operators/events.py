@@ -99,13 +99,19 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming `session_window`; one shuffle on user_id serves all three
     window steps."""
     t = Tables(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # NULLS LAST ordering (DuckDB's default); and the new-session flag
+    # tests LAG IS NULL explicitly, not gap IS NULL — a NULL-ts row after
+    # a timed row has a NULL gap but must NOT start a session (the
+    # oracle's `gap > 30min OR LAG IS NULL` is not-true there)
+    order = [F.col("ts").asc_nulls_last(), F.col("event_id").asc()]
+    w = W.partitionBy("user_id").orderBy(*order)
     epoch = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)
-    gap = epoch - F.lag(epoch).over(w)
+    lag_epoch = F.lag(epoch).over(w)
+    gap = epoch - lag_epoch
     flagged = t.events.select("user_id", "ts", "event_id").withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "new_session", F.when((gap > 1800) | lag_epoch.isNull(), 1).otherwise(0)
     )
-    run = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc()).rowsBetween(
+    run = W.partitionBy("user_id").orderBy(*order).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
@@ -136,7 +142,7 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc())
         .rowsBetween(W.unboundedPreceding, -1)
     )
     purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
@@ -317,8 +323,24 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = (
         t.events.groupBy("user_id")
         .agg(
+            # NULL ts coalesces to a far-future sentinel before the struct
+            # sort: Spark's struct ordering compares fields NULLS FIRST
+            # while the oracle's ORDER BY ts sorts NULLS LAST — the
+            # sentinel puts the untimed tail last on both engines (ties
+            # broken by the non-null event_id either way)
             F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.coalesce(
+                                F.col("ts"),
+                                F.lit("9999-12-31 00:00:00").cast("timestamp_ntz"),
+                            ).alias("ts"),
+                            "event_id",
+                            "event_type",
+                        )
+                    )
+                ),
                 lambda s: s["event_type"],
             ).alias("seq")
         )
@@ -380,7 +402,9 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probability is one double division of two exact integer counts —
     bit-identical across engines (no libm)."""
     t = Tables(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc()
+    )
     pairs = (
         t.events.select(F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt"))
         .where(F.col("nxt").isNotNull())

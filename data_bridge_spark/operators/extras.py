@@ -286,7 +286,11 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last value over a customer's order history + NTILE buckets."""
     t = Tables(spark, sf_dir)
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    # asc_nulls_last: NULL order dates sort LAST as in DuckDB (Spark's
+    # ASC default is NULLS FIRST, which would flip first/last/ntile)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc()
+    )
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
         t.orders.filter(F.col("o_custkey") <= 100)

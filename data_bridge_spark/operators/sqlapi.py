@@ -209,7 +209,10 @@ def scalar_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orders.filter(F.col("o_orderkey") <= 2000).select(
         "o_orderkey",
         F.coalesce(F.nullif(status, F.lit("P")), F.lit("PENDING")).alias("status_norm"),
-        F.when(status != "P", price).alias("price_or_null"),
+        # NOT the flipped `WHEN status != 'P' THEN price`: for NULL status
+        # that form yields NULL while the stated CASE falls to ELSE price
+        # (three-valued logic — NULL = 'P' is not-true, so ELSE fires)
+        F.when(status == "P", F.lit(None)).otherwise(price).alias("price_or_null"),
         (status == "P").cast("integer").alias("is_pending"),
         F.ifnull(F.when(price > 300000, price), F.lit(0.0)).alias("big_price"),
     )

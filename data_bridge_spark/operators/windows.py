@@ -69,11 +69,14 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = (
         W.partitionBy("l_suppkey")
+        # asc_nulls_last on the nullable keys: DuckDB's default NULL
+        # order (Spark ASC is NULLS FIRST — mixed-NULL shipdates would
+        # shift every prefix sum by the NULL block)
         .orderBy(
-            F.col("l_shipdate").asc(),
+            F.col("l_shipdate").asc_nulls_last(),
             F.col("l_orderkey").asc(),
             F.col("l_linenumber").asc(),
-            F.col("l_quantity").asc(),
+            F.col("l_quantity").asc_nulls_last(),
         )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
@@ -106,7 +109,9 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG-based delta between consecutive rows per key — the building
     block for sessionization and CDC-style diffs (SURVEY §2B16/§2D)."""
     t = Tables(spark, sf_dir)
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc()
+    )
     return (
         t.orders.filter(F.col("o_custkey") <= 200)
         .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
@@ -140,14 +145,22 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(-4, W.currentRow)
     )
+    # collect_list skips NULL values, matching MEDIAN's NULL-ignoring
+    # aggregate semantics — but that means the frame array can be EMPTY
+    # (all 5 values NULL), so the n=0 branch must short-circuit before
+    # element_at sees index 0
     arr = F.array_sort(F.collect_list("value").over(w))
     n = F.size(arr)
     mid = F.element_at(arr, (n / 2 + 1).cast("int"))
     lo = F.element_at(arr, (n / 2).cast("int"))
-    med = F.when(n % 2 == 1, mid).otherwise((lo + mid) / 2.0)
+    med = (
+        F.when(n == 0, F.lit(None))
+        .when(n % 2 == 1, mid)
+        .otherwise((lo + mid) / 2.0)
+    )
     return (
         t.events.filter(F.col("event_type") == "view")
         .select("user_id", "event_id", med.alias("med5"))

@@ -55,6 +55,13 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # Sweep hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" perturbs execution
+    # (partition counts, AQE off, repartition sort) without code changes —
+    # the determinism sweeps re-run the full oracle corpus under these.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
