@@ -195,3 +195,52 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _window_specs(plan: str) -> list[str]:
+    """First argument of every windowspecdefinition in the plan text —
+    a partition column if present; order columns carry ASC/DESC."""
+    return re.findall(r"windowspecdefinition\(([^,]+),", plan)
+
+
+def test_quantile_bucket_has_no_global_window(spark, sf_dir):
+    """feature_quantile_bucket's load-bearing shape: the cumulative
+    counts run per range-bucket (_bucketed_prefix_sums), NEVER as one
+    global ordered window holding every distinct value in a single
+    partition. Receipt: every window spec in the plan starts with a
+    partition column (an order-only spec's first argument is an ASC/DESC
+    sort column)."""
+    plan = plan_of(REG["feature_quantile_bucket"].fn(spark, sf_dir))
+    specs = _window_specs(plan)
+    assert specs, "expected the prefix-sum windows in the plan"
+    # The ONE allowed order-only window is the per-bucket offsets pass:
+    # its input is the n_buckets-row totals table (bounded by the
+    # constant bucket count), never the value grain.
+    for first_arg in specs:
+        if " ASC" in first_arg or " DESC" in first_arg:
+            assert first_arg.lstrip().startswith("_bucket#"), (
+                f"order-only window over the value grain: {first_arg}"
+            )
+
+
+def test_curriculum_order_previews_with_takeordered(spark, sf_dir):
+    """curriculum_order's schedule preview must be partition-local top-k
+    (TakeOrderedAndProject), not a global sort, and the corpus-wide rank
+    must not be materialized: the only row_number window runs above the
+    bounded LIMIT head (a <=100-row input), never on the corpus."""
+    df = REG["curriculum_order"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    # no GLOBAL sort anywhere (plan prints `Sort [...], true, 0` for
+    # global) — the head comes from TakeOrdered, the rank window runs
+    # over its tiny output, and the prefix-sum sorts are partition-local
+    assert not re.search(r"Sort \[[^\]]*\], true", plan)
+
+
+def test_bloom_prefilter_lanes_broadcast_one_exact_join(spark, sf_dir):
+    """join_bloom_prefilter's contract: k=3 bitmap-lane probes broadcast
+    (bytes per bit, no fact shuffle to prefilter), then exactly one
+    exact equi-join removes false positives — never a nested loop."""
+    plan = plan_of(REG["join_bloom_prefilter"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "NestedLoop" not in plan
