@@ -145,16 +145,19 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "rollup"),
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical ROLLUP (region → nation → grand total), pre-aggregated
-    at the finest grain: ONE scan+shuffle builds (region, nation) partials
-    with exact decimal sums, then the grouping-set Expand rides the tiny
-    partial table instead of multiplying the raw input — strictly better
-    at 100 TB than rollup-over-raw. Also standard-compliant on EMPTY
-    input: SQL says the () grouping set always emits the grand-total row
-    (count 0, NULL sum) but Spark's keyed grouping-set aggregate emits
-    nothing — the marker branch reinstates that row from the same cut
-    partials, so the DuckDB oracle matches on populated and degenerate
-    fixtures alike."""
+    """Hierarchical ROLLUP (region → nation → grand total) as a UNION of
+    grouping levels over ONE set of finest-grain partials: the scan+join
+    shuffles once into (region, nation) partials with exact decimal sums;
+    the nation level IS that table, the region and grand-total levels
+    re-aggregate its ~|nations| rows (the identical partial subplan is
+    deduplicated by exchange reuse, so the fact side is scanned and
+    shuffled exactly once — strictly better at 100 TB than rollup-over-
+    raw, whose Expand triples every input row through the first
+    aggregate). The union-of-levels form also gets the SQL empty-input
+    semantics for free: the grand-total level is a GLOBAL aggregate,
+    which emits its one row (count 0, NULL sum) on empty input natively —
+    no probe branch, no second scan (the r7 probe re-executed the join
+    and cost a measured 1.2x; the r6 plain rollup cost Expand-on-raw)."""
     t = Tables(spark, sf_dir)
     joined = (
         t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -164,25 +167,26 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine = joined.groupBy("region", "nation").agg(
         F.count(F.lit(1)).alias("n0"), F.sum(dec("c_acctbal")).alias("s0")
     )
-    rolled = fine.rollup("region", "nation").agg(
+    nation_lvl = fine.select(
+        "region",
+        "nation",
+        F.col("n0").alias("n_customers"),
+        dec_to_double(F.col("s0").cast("decimal(28,6)")).alias("sum_acctbal"),
+    )
+    region_lvl = fine.groupBy("region").agg(
         F.sum("n0").alias("n_customers"),
         dec_to_double(F.sum("s0").cast("decimal(28,6)")).alias("sum_acctbal"),
+    ).select("region", F.lit(None).cast("string").alias("nation"), "n_customers", "sum_acctbal")
+    total_lvl = fine.agg(
+        F.coalesce(F.sum("n0"), F.lit(0).cast("bigint")).alias("n_customers"),
+        dec_to_double(F.sum("s0").cast("decimal(28,6)")).alias("sum_acctbal"),
+    ).select(
+        F.lit(None).cast("string").alias("region"),
+        F.lit(None).cast("string").alias("nation"),
+        "n_customers",
+        "sum_acctbal",
     )
-    # emptiness probe rides a collect-limit on the JOIN INPUT (fine is
-    # empty iff joined is): near-free on populated data, and it removes
-    # the r7 localCheckpoint materialization that cost agg_rollup 1.7x
-    # (fine had two consumers; now it has one and needs no cut)
-    empty_total = (
-        joined.limit(1).agg(F.count(F.lit(1)).alias("__k"))
-        .filter(F.col("__k") == 0)
-        .select(
-            F.lit(None).cast("string").alias("region"),
-            F.lit(None).cast("string").alias("nation"),
-            F.lit(0).cast("bigint").alias("n_customers"),
-            F.lit(None).cast("double").alias("sum_acctbal"),
-        )
-    )
-    return rolled.unionByName(empty_total)
+    return nation_lvl.unionByName(region_lvl).unionByName(total_lvl)
 
 
 _UNION_COLS = ("c_custkey", "c_name")
