@@ -185,7 +185,24 @@ def main() -> None:
     # measured on different VM placements can differ 1.3-1.7x (see SCALE.md
     # "Bench environment note"); loadavg is sampled BEFORE the bench's own
     # work inflates it
-    detail["host"] = {"cpus": os.cpu_count(), "loadavg_1m_at_start": loadavg_at_start}
+    # single-thread CPU microprobe: a fixed md5 loop timed once. Rounds
+    # land on different VM placements whose single-core speed differs
+    # 1.1-1.7x (r9 forensic: loadavg at start is ANTI-correlated with
+    # totals across the committed BENCH_DETAIL history — placement, not
+    # load, dominates). The probe lets a future round divide out the
+    # placement delta instead of chasing phantom uniform "regressions".
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"x"
+    for _ in range(200_000):
+        h = hashlib.md5(h).digest()
+    cpu_probe_ms = round((time.perf_counter() - t0) * 1000, 1)
+    detail["host"] = {
+        "cpus": os.cpu_count(),
+        "loadavg_1m_at_start": loadavg_at_start,
+        "cpu_probe_ms": cpu_probe_ms,
+    }
     prev = _prev_round_timings()
     if prev is not None:
         prev_file, prev_q = prev

@@ -323,19 +323,18 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = (
         t.events.groupBy("user_id")
         .agg(
-            # NULL ts coalesces to a far-future sentinel before the struct
-            # sort: Spark's struct ordering compares fields NULLS FIRST
-            # while the oracle's ORDER BY ts sorts NULLS LAST — the
-            # sentinel puts the untimed tail last on both engines (ties
-            # broken by the non-null event_id either way)
+            # An explicit (ts IS NULL) flag leads the sort struct: Spark's
+            # struct ordering compares fields NULLS FIRST while the
+            # oracle's ORDER BY ts sorts NULLS LAST — the flag puts the
+            # untimed tail last on both engines with no sentinel value a
+            # real timestamp could collide with (ties broken by the
+            # non-null event_id either way)
             F.transform(
                 F.array_sort(
                     F.collect_list(
                         F.struct(
-                            F.coalesce(
-                                F.col("ts"),
-                                F.lit("9999-12-31 00:00:00").cast("timestamp_ntz"),
-                            ).alias("ts"),
+                            F.col("ts").isNull().cast("int").alias("ts_missing"),
+                            "ts",
                             "event_id",
                             "event_type",
                         )

@@ -22,14 +22,19 @@ from data_bridge_spark.session import lineage_cut
 
 
 def _ts_key():
-    """Sort-key ts with NULLs coalesced to a far-future sentinel, used as
-    the first struct field in every ordered collect_list fold. Spark's
-    struct comparison orders NULL fields FIRST while the oracles'
-    ``ORDER BY ts`` sorts NULLs LAST (DuckDB default) — the sentinel puts
-    untimed rows last on both engines; event_id still breaks ties."""
-    return F.coalesce(
-        F.col("ts"), F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
-    ).alias("ts")
+    """Leading sort-key fields for every ordered collect_list fold:
+    an explicit (ts IS NULL) flag ahead of the raw ts. Spark's struct
+    comparison orders NULL fields FIRST while the oracles' ``ORDER BY ts``
+    sorts NULLs LAST (DuckDB default) — the flag puts untimed rows last on
+    both engines with no magic value: a real timestamp can never collide
+    with it (the prior 9999-12-31 sentinel could, in principle, interleave
+    a real far-future event with the untimed tail). Among untimed rows ts
+    is uniformly NULL, so event_id still breaks ties. Splat at call sites:
+    ``F.struct(*_ts_key(), "event_id", ...)``."""
+    return (
+        F.col("ts").isNull().cast("int").alias("ts_missing"),
+        F.col("ts").alias("ts"),
+    )
 
 
 @register(
@@ -265,7 +270,7 @@ def events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pat = "view,click,purchase"
     ordered = F.array_sort(
-        F.collect_list(F.struct(_ts_key(), F.col("event_id"), F.col("event_type")))
+        F.collect_list(F.struct(*_ts_key(), F.col("event_id"), F.col("event_type")))
     )
     # concat_ws skips NULL elements — exactly string_agg's semantics —
     # EXCEPT over an all-NULL input, where string_agg is NULL and
@@ -315,7 +320,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
     )
     vals = F.transform(
-        F.array_sort(F.collect_list(F.struct(_ts_key(), "event_id", "v"))),
+        F.array_sort(F.collect_list(F.struct(*_ts_key(), "event_id", "v"))),
         lambda s: s["v"],
     )
     return (
@@ -448,7 +453,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
     )
     vals = F.transform(
-        F.array_sort(F.collect_list(F.struct(_ts_key(), "event_id", "v"))),
+        F.array_sort(F.collect_list(F.struct(*_ts_key(), "event_id", "v"))),
         lambda s: s["v"],
     )
     return (
@@ -560,7 +565,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", F.col("value").cast("double").alias("v"), dow.alias("dow")
     )
     xs = F.transform(
-        F.array_sort(F.collect_list(F.struct(_ts_key(), "event_id", "v", "dow"))),
+        F.array_sort(F.collect_list(F.struct(*_ts_key(), "event_id", "v", "dow"))),
         lambda s: F.array(s["v"], s["dow"]),
     )
     folded = (
@@ -634,7 +639,7 @@ def ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
     )
     vals = F.transform(
-        F.array_sort(F.collect_list(F.struct(_ts_key(), "event_id", "v"))),
+        F.array_sort(F.collect_list(F.struct(*_ts_key(), "event_id", "v"))),
         lambda s: s["v"],
     )
     folded = (
@@ -774,7 +779,7 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("v"),
     )
     sorted_vals = F.transform(
-        F.array_sort(F.collect_list(F.struct(_ts_key(), "event_id", "v"))),
+        F.array_sort(F.collect_list(F.struct(*_ts_key(), "event_id", "v"))),
         lambda s: s["v"],
     )
     return (
@@ -849,7 +854,7 @@ def ts_anomaly_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t.events.select(
         "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
     )
-    srt = F.array_sort(F.collect_list(F.struct(_ts_key(), "event_id", "v")))
+    srt = F.array_sort(F.collect_list(F.struct(*_ts_key(), "event_id", "v")))
     per = ev.groupBy("user_id").agg(
         F.transform(srt, lambda s: s["event_id"]).alias("ids"),
         F.transform(srt, lambda s: s["v"]).alias("vals"),

@@ -17,6 +17,7 @@ multi-executor cluster at 100 TB:
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -55,17 +56,46 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
-    # Sweep hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" perturbs execution
-    # (partition counts, AQE off, repartition sort) without code changes —
-    # the determinism sweeps re-run the full oracle corpus under these.
-    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
-    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
-        k, _, v = pair.partition("=")
-        builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # Sweep hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" perturbs execution
+    # (partition counts, AQE off, repartition sort) without code changes —
+    # the determinism sweeps re-run the full oracle corpus under these.
+    # Applied AFTER extra_conf: an explicit sweep perturbation must win over
+    # caller defaults, else a sweep can report green while never actually
+    # running under the perturbed conf. Overlaps are logged to stderr.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    env_pairs: dict[str, str] = {}
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        env_pairs[k.strip()] = v.strip()
+    for k, v in env_pairs.items():
+        if extra_conf and k in extra_conf and str(extra_conf[k]) != v:
+            print(
+                f"[data_bridge_spark.session] SPARK_GRAFT_EXTRA_CONF overrides "
+                f"extra_conf {k}: {extra_conf[k]!r} -> {v!r}",
+                file=sys.stderr,
+            )
+        builder = builder.config(k, v)
+    pre_existing = SparkSession.getActiveSession()
     spark = builder.getOrCreate()
+    if env_pairs and pre_existing is not None:
+        # getOrCreate ignores every builder conf when a session already
+        # lives: surface any sweep key the live session does not carry so
+        # the sweep fails loudly instead of silently running unperturbed.
+        stale = {
+            k: spark.conf.get(k, None)
+            for k, v in env_pairs.items()
+            if spark.conf.get(k, None) != v
+        }
+        if stale:
+            print(
+                f"[data_bridge_spark.session] WARNING: pre-existing session "
+                f"ignores SPARK_GRAFT_EXTRA_CONF keys {stale} — sweep conf "
+                f"NOT applied",
+                file=sys.stderr,
+            )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

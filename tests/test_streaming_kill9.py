@@ -190,6 +190,10 @@ def test_stream_to_lake_survives_sigkill_mid_write(spark, sf_dir, tmp_path):
     deadline = time.time() + 120
     while time.time() < deadline and not os.path.isdir(table):
         time.sleep(0.5)  # wait for the sink to create the output dir
+    # fail loudly if the sink never started: killing before any write
+    # would silently degrade this to a kill-before-write test and skip
+    # the mid-write replay path this test exists to exercise
+    assert os.path.isdir(table), "sink never created output dir within 120s"
     time.sleep(6)  # inside the 4 x 5s slowed write, commit pending
     p.kill()
     p.wait(timeout=60)

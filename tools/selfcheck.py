@@ -120,6 +120,95 @@ class RowDigest:
         return self.hashsum == other.hashsum
 
 
+_HEXDIGITS = "0123456789abcdef"
+# dtypes whose CAST(x AS VARCHAR/string) prints identically on both
+# engines — the only ones the sql-digest row hash may canonicalize
+_DIGEST_OK_DUCK = {"bigint", "integer", "smallint", "tinyint", "hugeint", "varchar", "date"}
+_DIGEST_OK_SPARK = {"bigint", "int", "smallint", "tinyint", "string", "date"}
+
+
+def sqldigest_compare(con, sdf, oracle: str) -> tuple[list[str], int]:
+    """Value-compare a query via engine-side aggregate digests instead of
+    row streaming: COUNT(*), an order-insensitive SUM of a 60-bit row hash
+    (md5 of the '|'-joined canonical row string, first 15 hex chars parsed
+    as an integer — bit-identical on both engines), and per-integer-column
+    SUMs. Both digests reduce INSIDE their engine (DuckDB / Spark), so a
+    mega-pair result (join_range_binned at sf1: 481M rows) is value-checked
+    without materializing or streaming the row set. Returns (problems, n).
+
+    Only int/varchar/date columns are supported in the row hash — their
+    VARCHAR casts are identical across engines; anything else fails loudly
+    rather than hashing engine-specific text."""
+    from pyspark.sql import functions as F
+
+    scols = sdf.columns
+    otypes = {
+        r[0]: r[1].lower()
+        for r in con.execute(f"DESCRIBE SELECT * FROM ({oracle})").fetchall()
+    }
+    problems: list[str] = []
+    if sorted(scols) != sorted(otypes):
+        return [f"schema spark={sorted(scols)} oracle={sorted(otypes)}"], -1
+    stypes = dict(sdf.dtypes)
+    for col, st in stypes.items():
+        a, b = canon_spark_type(st), canon_duck_type(otypes[col])
+        if a != b:
+            problems.append(f"dtype {col}: spark={st} oracle={otypes[col]}")
+        if st.lower() not in _DIGEST_OK_SPARK or otypes[col] not in _DIGEST_OK_DUCK:
+            problems.append(
+                f"sql-digest unsupported dtype for {col}: spark={st} duck={otypes[col]}"
+            )
+    if problems:
+        return problems, -1
+    order = sorted(scols)
+    int_cols = [c for c in order if stypes[c].lower() not in ("string", "date")]
+
+    # DuckDB side: one aggregate row out of the oracle CTE
+    canon_cols = ", ".join(f"COALESCE(CAST({c} AS VARCHAR), chr(1))" for c in order)
+    hexterms = " + ".join(
+        f"CAST(strpos('{_HEXDIGITS}', substr(__h, {i}, 1)) - 1 AS HUGEINT)"
+        f" * CAST('{16 ** (15 - i)}' AS HUGEINT)"
+        for i in range(1, 16)
+    )
+    sums = "".join(
+        f", COALESCE(SUM(CAST({c} AS HUGEINT)), 0) AS sum_{c}" for c in int_cols
+    )
+    duck_sql = (
+        f"SELECT COUNT(*) AS n, COALESCE(SUM({hexterms}), 0) AS hsum{sums} "
+        f"FROM (SELECT md5(concat_ws('|', {canon_cols})) AS __h, * FROM ({oracle}) t0) t"
+    )
+    orow = con.execute(duck_sql).fetchone()
+    ocols_out = [d[0] for d in con.execute(duck_sql).description]
+    odig = {k: int(v) for k, v in zip(ocols_out, orow)}
+
+    # Spark side: the identical aggregates, reduced executor-side
+    h = F.md5(
+        F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in order]
+        )
+    )
+    hval = F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(hval), F.lit(0).cast("decimal(38,0)")).alias("hsum"),
+    ] + [
+        F.coalesce(
+            F.sum(F.col(c).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+        ).alias(f"sum_{c}")
+        for c in int_cols
+    ]
+    srow = sdf.agg(*aggs).collect()[0].asDict()
+    sdig = {k: int(v) for k, v in srow.items()}
+
+    if sdig["n"] != odig["n"]:
+        problems.append(f"rowcount spark={sdig['n']} oracle={odig['n']}")
+    elif sdig != odig:
+        problems.append(
+            f"values differ (sql-digest): spark={sdig} oracle={odig}"
+        )
+    return problems, sdig["n"]
+
+
 def canon_spark_type(t: str) -> str:
     t = t.lower()
     if t.startswith("array<") and t.endswith(">"):
@@ -154,11 +243,22 @@ def main() -> int:
     # with a fixpoint witness and run in seconds — full sweeps need no
     # exclusions.)
     args = sys.argv[1:]
-    excluded: set[str] = set()
-    if "--exclude" in args:
-        i = args.index("--exclude")
-        excluded = set(args[i + 1 :])
-        args = args[:i]
+
+    def take_flag(argv: list[str], flag: str) -> tuple[list[str], set[str]]:
+        if flag not in argv:
+            return argv, set()
+        i = argv.index(flag)
+        j = i + 1
+        while j < len(argv) and not argv[j].startswith("--"):
+            j += 1
+        return argv[:i] + argv[j:], set(argv[i + 1 : j])
+
+    # --sqldigest name ...: compare those queries via engine-side aggregate
+    # digests (sqldigest_compare) instead of row streaming — closes the one
+    # historical sf1 exclusion (join_range_binned, 481M-row oracle output)
+    # without materializing the pair list on either engine.
+    args, sqldigest = take_flag(args, "--sqldigest")
+    args, excluded = take_flag(args, "--exclude")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     registry = load_all()
@@ -187,6 +287,24 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
+            continue
+        if name in sqldigest and q.oracle is not None:
+            try:
+                problems, n_digest = sqldigest_compare(con, sdf, q.oracle)
+            except Exception:
+                print(f"FAIL {name}: sql-digest error\n{traceback.format_exc()}")
+                failures.append(name)
+                continue
+            if problems:
+                print(f"FAIL {name}: {'; '.join(problems)}")
+                failures.append(name)
+            else:
+                print(
+                    f"ok   {name}: {n_digest} rows match "
+                    f"({time.time()-t0:.1f}s, sql-digest)"
+                )
+                if n_digest == 0:
+                    print(f"WARN {name}: 0 rows")
             continue
         if q.oracle is None:
             try:
