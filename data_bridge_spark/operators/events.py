@@ -238,22 +238,58 @@ def asof_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t.events.filter(F.col("user_id") <= 50).select(
         "event_id", "user_id", "ts", "event_type"
     )
+    # the pandas boundary carries ts as two exact integers — epoch SECONDS
+    # and sub-second MICROS — never as a timestamp or single micros value:
+    # (a) pandas' ns-epoch datetime range caps at 2262-04-11, so a
+    # far-future timestamp overflows the Arrow->pandas conversion, and
+    # (b) pandas coerces nullable int64 to float64, whose 2^53 integer
+    # ceiling silently rounds a year-9999 micros value by ~14us (both
+    # found by the r9 edgevals fixture). Each split component stays well
+    # under 2^53, so the float64 detour is lossless; the timestamps are
+    # rebuilt JVM-side after the group apply. NULL ts arrives as NaN —
+    # pandas sorts it last, matching the engine's NULLS LAST contract.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev_split = ev.select(
+        "event_id",
+        "user_id",
+        (ts_us - F.pmod(ts_us, F.lit(1_000_000))).cast("long").alias("us0"),
+        F.pmod(ts_us, F.lit(1_000_000)).cast("long").alias("ts_f"),
+        "event_type",
+    ).withColumn("ts_s", (F.col("us0") / F.lit(1_000_000)).cast("long")).drop("us0")
 
     def asof(pdf: pd.DataFrame) -> pd.DataFrame:
-        # sort by (ts, event_id) — the strictly-before scan below is then
-        # exactly merge_asof(direction="backward", allow_exact_matches=False)
-        # with a deterministic tiebreak on event_id
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        is_purchase = (pdf["event_type"] == "purchase").to_numpy()
-        ts = pdf["ts"].to_numpy()
-        prev = pd.Series(ts).where(pd.Series(is_purchase)).ffill().shift(1)
-        pdf["prev_purchase_ts"] = prev
-        return pdf[["event_id", "user_id", "ts", "event_type", "prev_purchase_ts"]]
+        # sort by (ts_s, ts_f, event_id) — the strictly-before scan below
+        # is exactly merge_asof(direction="backward",
+        # allow_exact_matches=False) with a deterministic event_id tiebreak
+        pdf = pdf.sort_values(["ts_s", "ts_f", "event_id"]).reset_index(drop=True)
+        is_purchase = pdf["event_type"] == "purchase"
+        # the (s, f) pair is masked and ffilled by the same predicate, so
+        # the components stay paired
+        prev_s = pdf["ts_s"].where(is_purchase).ffill().shift(1)
+        prev_f = pdf["ts_f"].where(is_purchase).ffill().shift(1)
+        # nullable Int64 so NULLs cross Arrow as nulls, never NaN-to-long
+        pdf["prev_s"] = prev_s.astype("Int64")
+        pdf["prev_f"] = prev_f.astype("Int64")
+        pdf["ts_s"] = pdf["ts_s"].astype("Int64")
+        pdf["ts_f"] = pdf["ts_f"].astype("Int64")
+        return pdf[
+            ["event_id", "user_id", "ts_s", "ts_f", "event_type", "prev_s", "prev_f"]
+        ]
 
-    return ev.groupBy("user_id").applyInPandas(
+    out = ev_split.groupBy("user_id").applyInPandas(
         asof,
-        schema="event_id long, user_id long, ts timestamp_ntz, event_type string, "
-        "prev_purchase_ts timestamp_ntz",
+        schema="event_id long, user_id long, ts_s long, ts_f long, "
+        "event_type string, prev_s long, prev_f long",
+    )
+    rebuild = lambda s, f: F.timestamp_micros(  # noqa: E731
+        F.col(s) * F.lit(1_000_000) + F.col(f)
+    ).cast("timestamp_ntz")
+    return out.select(
+        "event_id",
+        "user_id",
+        rebuild("ts_s", "ts_f").alias("ts"),
+        "event_type",
+        rebuild("prev_s", "prev_f").alias("prev_purchase_ts"),
     )
 
 

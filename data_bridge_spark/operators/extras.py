@@ -477,7 +477,11 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator is a file-layout round trip: the oracle computes the same
     # merge relationally (updated keys repriced, one inserted row)
     oracle="""
-    SELECT o_orderkey, o_totalprice, CAST(o_orderstatus AS VARCHAR) AS o_orderstatus
+    -- NULLIF: the Hive layout canonicalizes '' partition values to NULL
+    -- (__HIVE_DEFAULT_PARTITION__) — an explicit, documented contract of
+    -- the partition KEY (sinks/writers._canon_partition_values)
+    SELECT o_orderkey, o_totalprice,
+           NULLIF(CAST(o_orderstatus AS VARCHAR), '') AS o_orderstatus
     FROM (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 13 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice,
@@ -552,7 +556,9 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # atexit-tracked: the returned lazy DataFrame still reads this path
     path = tracked_tempdir("dbs_sink_csv_") + "/nations.csv"
     write_table(out, path, fmt="csv", single_file=True)
-    return spark.read.option("header", "true").csv(path)
+    from data_bridge_spark.sinks.writers import CSV_READ_OPTIONS
+
+    return spark.read.options(**CSV_READ_OPTIONS).csv(path)
 
 
 @register(

@@ -134,26 +134,29 @@ def feature_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END AS oh_building,
            CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END AS oh_furniture,
            CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END AS oh_household,
-           CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END AS oh_machinery
+           CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END AS oh_machinery,
+           CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+                ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+                THEN 1 ELSE 0 END AS oh_other
     FROM customer
     """,
     tags=("features", "encoding"),
 )
 def feature_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-hot encoding of a low-cardinality categorical: the vocabulary
-    is DISCOVERED at plan time (one column-pruned bounded distinct — the
-    fit step, same pattern as events_pivot_dynamic) and verified against
-    the declared domain; output columns come from the static domain so
-    the schema is stable even on sparse input. Pure map-side CASE flags
-    after discovery — zero shuffles over the fact table; NULL category
-    rows get all-zero flags on both engines."""
+    """One-hot encoding of a low-cardinality categorical over a DECLARED
+    domain, plus one ``oh_other`` overflow indicator for any non-NULL
+    value outside it (sklearn's handle_unknown='infrequent' semantic).
+    The overflow bucket — not a fit-time assert — is the only
+    schema-stable choice at 100 TB, where the live vocabulary can drift
+    between fit and transform (the r9 edgevals fixture drove exactly
+    that: adversarial segment strings that a value-derived column set
+    would have minted unreadable column names from, and that the former
+    domain assert refused outright). Pure map-side CASE flags — zero
+    shuffles, zero plan-time jobs; NULL category rows get all-zero flags
+    on both engines. The plan-time vocabulary-discovery pattern (the fit
+    step as a bounded distinct) stays demonstrated by
+    events_pivot_dynamic."""
     t = Tables(spark, sf_dir)
-    discovered = sorted(
-        r[0]
-        for r in t.customer.select("c_mktsegment").distinct().collect()
-        if r[0] is not None
-    )
-    assert set(discovered) <= set(_SEGMENTS_STATIC), discovered
     return t.customer.select(
         "c_custkey",
         *[
@@ -162,6 +165,13 @@ def feature_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"oh_{seg.lower()}")
             for seg in _SEGMENTS_STATIC
         ],
+        F.when(
+            F.col("c_mktsegment").isNotNull()
+            & ~F.col("c_mktsegment").isin(list(_SEGMENTS_STATIC)),
+            1,
+        )
+        .otherwise(0)
+        .alias("oh_other"),
     )
 
 

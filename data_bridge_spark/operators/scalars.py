@@ -138,8 +138,12 @@ def scalar_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_json",
     oracle="""
+    -- json_valid guard: Spark's get_json_object is total (malformed JSON
+    -- yields NULL) while DuckDB's json_extract_string THROWS — the guard
+    -- gives the oracle the engine's own total semantics (r9 edgevals)
     SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+           CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS INTEGER) AS prop_k
     FROM events
     WHERE event_type = 'purchase'
     """,

@@ -188,7 +188,10 @@ _EVENT_TYPES_STATIC = ("click", "error", "purchase", "signup", "view")
            CAST(COALESCE(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS error,
            CAST(COALESCE(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS purchase,
            CAST(COALESCE(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS signup,
-           CAST(COALESCE(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS view
+           CAST(COALESCE(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS view,
+           CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
+                AND event_type NOT IN ('click','error','purchase','signup','view')
+                THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS other
     FROM events GROUP BY 1
     """,
     tags=("events", "pivot", "dynamic"),
@@ -219,26 +222,39 @@ def events_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in t.events.select("event_type").distinct().collect()
         if r[0] is not None
     )
+    # discovery can surface (a) a subset of the declared domain (empty or
+    # sparse input — absent types become 0-filled columns) and (b) types
+    # OUTSIDE it (adversarial values, late-arriving categories — the r9
+    # edgevals fixture drives both). Out-of-domain types roll into one
+    # 'other' overflow column instead of minting value-derived column
+    # names or failing the fit: the output schema is a function of the
+    # DECLARED domain only, the property that makes a dynamic pivot
+    # survivable when the live vocabulary drifts at 100 TB. A
+    # WRONGLY-absent declared type is still caught by the oracle's value
+    # compare (its sums would land in 'other' or vanish, and mismatch).
+    known = [c for c in discovered if c in set(_EVENT_TYPES_STATIC)]
+    has_other = len(known) < len(discovered)
+    src = t.events.withColumn(
+        "etype",
+        F.when(
+            F.col("event_type").isin(list(_EVENT_TYPES_STATIC)), F.col("event_type")
+        ).when(F.col("event_type").isNotNull(), F.lit("other")),
+    )
     piv = (
-        t.events.groupBy(F.to_date("ts").alias("day_d"))
-        .pivot("event_type", discovered)
+        src.groupBy(F.to_date("ts").alias("day_d"))
+        .pivot("etype", known + (["other"] if has_other else []))
         .agg(F.sum(F.col("value").cast("decimal(18,6)")))
     )
-    # discovery can surface a subset of the declared domain (empty or
-    # sparse input) but never invent a type outside it; absent types
-    # become 0-filled columns so the output schema is stable — and a
-    # WRONGLY-absent type is still caught by the oracle's value compare
-    # (its sums would be nonzero)
-    assert set(discovered) <= set(_EVENT_TYPES_STATIC), discovered
+    present = set(known) | ({"other"} if has_other else set())
     return piv.select(
         "day_d",
         *[
             (
                 F.coalesce(F.col(c).cast("double"), F.lit(0.0))
-                if c in discovered
+                if c in present
                 else F.lit(0.0)
             ).alias(c)
-            for c in _EVENT_TYPES_STATIC
+            for c in [*_EVENT_TYPES_STATIC, "other"]
         ],
     )
 

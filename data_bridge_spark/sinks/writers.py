@@ -34,6 +34,16 @@ if TYPE_CHECKING:
     from data_bridge_spark.plans.models import DestLake, DestSftp, DestSmtp
 
 
+# CSV fidelity contract (r9, found by the edgevals fixture): NULL serializes
+# as the \\N token so a reader can distinguish it from the quoted empty
+# string (Spark's default nullValue "" conflates the two on read), and
+# readers must pass multiLine=true or an embedded newline splits one record
+# into two. Every CSV site in the engine uses these paired options.
+CSV_NULL_TOKEN = "\\N"
+CSV_WRITE_OPTIONS = {"header": "true", "nullValue": CSV_NULL_TOKEN}
+CSV_READ_OPTIONS = {"header": "true", "nullValue": CSV_NULL_TOKEN, "multiLine": "true"}
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -64,7 +74,7 @@ def write_table(
     if not single_file:
         writer = df.write.mode(mode)
         if fmt == "csv":
-            writer.option("header", "true").csv(path)
+            writer.options(**CSV_WRITE_OPTIONS).csv(path)
         elif fmt == "parquet":
             writer.parquet(path)
         else:
@@ -76,7 +86,7 @@ def write_table(
         out = os.path.join(tmp, "out")
         writer = df.coalesce(1).write.mode("overwrite")
         if fmt == "csv":
-            writer.option("header", "true").csv(out)
+            writer.options(**CSV_WRITE_OPTIONS).csv(out)
             pattern = "part-*.csv"
         elif fmt == "parquet":
             writer.parquet(out)
@@ -92,6 +102,25 @@ def write_table(
         return observed()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _canon_partition_values(df: DataFrame, partition_cols: list[str]) -> DataFrame:
+    """Hive-layout canonicalization: an empty-string partition value is
+    indistinguishable from NULL in the directory name (Spark writes both
+    to __HIVE_DEFAULT_PARTITION__ and reads both back as NULL). Make the
+    conflation explicit at write time so it is a documented contract of
+    the partition KEY — value-bearing empty strings belong in data
+    columns, not partition keys — and so the upsert's touched-partition
+    derivation, its null-safe pruning filter, and the physical layout all
+    agree on the same canonical value. Found by the r9 edgevals fixture
+    (an '' o_orderstatus read back as NULL and failed the round trip)."""
+    from pyspark.sql import functions as F
+
+    types = dict(df.dtypes)
+    for c in partition_cols:
+        if types.get(c) == "string":
+            df = df.withColumn(c, F.nullif(F.col(c), F.lit("")))
+    return df
 
 
 def write_partitioned_table(
@@ -130,6 +159,7 @@ def write_partitioned_table(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    df = _canon_partition_values(df, partition_cols)
     obs = Observation()
     pcols = [F.col(c) for c in partition_cols]
     if sort_cols:
@@ -143,7 +173,7 @@ def write_partitioned_table(
     if fmt == "parquet":
         writer.parquet(path)
     elif fmt == "csv":
-        writer.option("header", "true").csv(path)
+        writer.options(**CSV_WRITE_OPTIONS).csv(path)
     else:
         writer.json(path)
     return int(obs.get["n"])
@@ -302,6 +332,9 @@ def upsert_partitioned_table(
 
     from pyspark.sql import functions as F
 
+    updates = _canon_partition_values(updates, partition_cols)
+    if tombstones is not None:
+        tombstones = _canon_partition_values(tombstones, partition_cols)
     touched_df = updates.select(*partition_cols)
     if tombstones is not None:
         touched_df = touched_df.unionByName(tombstones.select(*partition_cols))

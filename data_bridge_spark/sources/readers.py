@@ -34,7 +34,11 @@ def read_file_source(spark: SparkSession, src: "SourceFile", table: str | None =
     if src.format == "parquet":
         return reader.parquet(path)
     if src.format == "csv":
-        return reader.option("header", "true").csv(path)
+        from data_bridge_spark.sinks.writers import CSV_READ_OPTIONS
+
+        # src.options may override the fidelity defaults (external CSVs
+        # that use a different null token)
+        return reader.options(**{**CSV_READ_OPTIONS, **(src.options or {})}).csv(path)
     return reader.json(path)
 
 
@@ -184,5 +188,7 @@ def read_sftp_source(
     if src.format == "parquet":
         return spark.read.parquet(local)
     if src.format == "csv":
-        return spark.read.option("header", "true").csv(local)
+        from data_bridge_spark.sinks.writers import CSV_READ_OPTIONS
+
+        return spark.read.options(**CSV_READ_OPTIONS).csv(local)
     return spark.read.json(local)
