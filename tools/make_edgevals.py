@@ -36,8 +36,10 @@ reaches — a standing full-corpus regime:
 - Keys (PK/FK) never touched: every join still resolves.
 
 Pure DuckDB transform of the read-only source; rerun-identical.
-Output: /root/repo/.scale/composed/edgevals/*.parquet (gitignored).
-Usage: python tools/make_edgevals.py [src_dir]
+Output: /root/repo/.scale/composed/edgevals/*.parquet (gitignored) by
+default; pass a second arg for a different destination (e.g. an
+sf0.01-scale edge fixture).
+Usage: python tools/make_edgevals.py [src_dir] [dst_dir]
 """
 
 from __future__ import annotations
@@ -49,11 +51,15 @@ import sys
 import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-DST = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".scale",
-    "composed",
-    "edgevals",
+DST = (
+    sys.argv[2]
+    if len(sys.argv) > 2
+    else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale",
+        "composed",
+        "edgevals",
+    )
 )
 
 TABLES = (
