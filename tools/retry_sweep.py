@@ -68,7 +68,13 @@ def _table_with_fault(self: catalog.Tables, name: str):
             )
         yield from batches
 
-    self._cache[key] = df.mapInPandas(fail_first_attempt, df.schema)
+    # mapInArrow, NOT mapInPandas: the injector only raises — it never
+    # touches the data — and the pandas hop would corrupt what it merely
+    # passes through (datetime64[ns] cannot hold the edgevals fixture's
+    # year-9999 timestamps, so retry x edgevals failed in the INJECTOR
+    # while the engine under test was fine). Arrow batches pass through
+    # byte-exact for every type.
+    self._cache[key] = df.mapInArrow(fail_first_attempt, df.schema)
     return self._cache[key]
 
 
