@@ -244,3 +244,34 @@ def test_bloom_prefilter_lanes_broadcast_one_exact_join(spark, sf_dir):
     plan = plan_of(REG["join_bloom_prefilter"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "NestedLoop" not in plan
+
+
+def test_feature_onehot_is_shuffle_free(spark, sf_dir):
+    """The r9 overflow-bucket redesign must keep one-hot a pure map-side
+    projection: no Exchange anywhere in the plan (the former fit-time
+    distinct job is gone too — zero plan-time Spark jobs)."""
+    plan = plan_of(REG["feature_onehot"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "oh_other" in plan
+
+
+def test_pivot_dynamic_canonical_two_exchanges(spark, sf_dir):
+    """The r9 'other' overflow remap must not add a shuffle: the plan
+    stays Spark's canonical two-phase pivot — partial-sum exchange on
+    (day, type), pivotfirst exchange on day — with the out-of-domain
+    remap folded into the map-side scan projection (a CASE inside the
+    Project above the FileScan, no extra exchange, no plan-time job)."""
+    plan = plan_of(REG["events_pivot_dynamic"].fn(spark, sf_dir))
+    n_exchange = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchange == 2, f"expected the 2 canonical pivot exchanges, got {n_exchange}"
+    assert "THEN other END" in plan  # remap is map-side, pre-shuffle
+
+
+def test_asof_merge_pandas_single_group_exchange(spark, sf_dir):
+    """The r9 (seconds, micros) integer-pair split must stay inside the
+    one FlatMapGroupsInPandas exchange on user_id — the split/rebuild
+    projections are map-side on either side of it."""
+    plan = plan_of(REG["asof_merge_pandas"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_exchange = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchange == 1, f"expected 1 hash exchange, plan has {n_exchange}"
