@@ -268,6 +268,16 @@ def main() -> int:
 
     spark = get_spark("selfcheck")
     con = duckdb.connect()
+    # Bound the oracle engine explicitly: DuckDB's default memory_limit is
+    # 80% of system RAM, which collides with the co-resident Spark JVM on
+    # the big-SF sweeps — the r9 sf10 slice died with a 256KB "bad
+    # allocation" inside a sort that runs FINE in 24GB once a real limit
+    # (and a spill dir) makes DuckDB spill instead of racing the JVM to
+    # the system wall. 32GB handles every oracle through sf10.
+    con.execute("SET memory_limit='32GB'")
+    import tempfile as _tf
+
+    con.execute(f"SET temp_directory='{_tf.mkdtemp(prefix='dbs_duck_spill_')}'")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
