@@ -214,3 +214,137 @@ def test_stream_to_lake_survives_sigkill_mid_write(spark, sf_dir, tmp_path):
     out = spark.read.parquet(table)
     assert out.count() == expect_n
     assert out.select("event_id").distinct().count() == expect_n
+
+
+_STATE_RUNNER = textwrap.dedent(
+    """
+    import sys, time
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession
+
+    from data_bridge_spark.streaming.stateful import stream_user_totals
+
+    landing, outdir, ckpt = sys.argv[1:4]
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("kill9-state-runner")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(landing)
+    )
+
+    # slow every micro-batch so the parent can SIGKILL between the state
+    # store's in-memory update and the checkpoint commit
+    def slow(batches):
+        time.sleep(3)
+        yield from batches
+
+    slowed = stream.mapInPandas(slow, schema)
+
+    def sink(batch_df, epoch_id):
+        # per-epoch overwrite: a replayed (uncommitted) batch keeps its
+        # batch id, so the replay idempotently rewrites its own dir
+        batch_df.write.mode("overwrite").parquet(f"{outdir}/epoch={epoch_id}")
+
+    q = (
+        stream_user_totals(slowed)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    print("RUNNER_DONE")
+    """
+)
+
+
+def test_stateful_totals_survive_sigkill_mid_batch(spark, sf_dir, tmp_path):
+    """kill -9 the driver while the applyInPandasWithState lane is
+    mid-batch (state updated in memory, checkpoint commit pending), then
+    restart from the checkpoint: the HDFS-backed state store must replay
+    the uncommitted batch without double-counting — the final per-user
+    totals equal the crash-free truth exactly. Completes the crash
+    matrix: the lake sinks have SIGKILL coverage above; this is the
+    STATE-STORE lane (custom stateful operator, SURVEY §2 streaming)."""
+    import time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ts deliberately excluded: the state lane keys on user_id and folds
+    # value only, and the slowed mapInPandas pass-through must not carry
+    # a nanos timestamp through pandas (see retry_sweep's mapInArrow note)
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "value")
+        .limit(1200)
+    )
+    landing = str(tmp_path / "landing")
+    for i in range(6):  # 6 chunk files -> 6 micro-batches at 1 file/trigger
+        events.filter(F.col("event_id") % 6 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    staged = spark.read.parquet(landing)
+    truth = {
+        r.user_id: (r.n, float(r.s))
+        for r in staged.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    outdir = str(tmp_path / "totals")
+    ckpt = str(tmp_path / "ckpt")
+    runner = tmp_path / "runner_state.py"
+    runner.write_text(_STATE_RUNNER)
+    args = [sys.executable, str(runner), landing, outdir, ckpt]
+
+    # Run 1: let at least one batch commit, then SIGKILL inside a later
+    # slowed batch (state updated, commit pending)
+    p = subprocess.Popen(args, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    deadline = time.time() + 120
+    while time.time() < deadline and not os.path.isdir(outdir):
+        time.sleep(0.5)
+    assert os.path.isdir(outdir), "state sink never produced output within 120s"
+    time.sleep(4)  # into the next 3s-slowed batch
+    p.kill()
+    p.wait(timeout=60)
+    assert p.returncode == -9
+
+    commits = os.path.join(ckpt, "commits")
+    n_committed = (
+        len([f for f in os.listdir(commits) if not f.startswith(".")])
+        if os.path.isdir(commits)
+        else 0
+    )
+    assert n_committed < 6, "kill landed after full drain — widen the slow window"
+
+    # Run 2: restart from the same checkpoint, drain the remaining batches
+    r2 = subprocess.run(args, capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, (r2.returncode, r2.stderr[-800:])
+    assert "RUNNER_DONE" in r2.stdout
+
+    # converged state: the LATEST emission per user equals the crash-free
+    # truth — no double count from the replayed batch, no lost state
+    import glob as _glob
+
+    latest: dict[int, tuple[int, int, float]] = {}
+    for d in _glob.glob(os.path.join(outdir, "epoch=*")):
+        epoch = int(d.rsplit("=", 1)[1])
+        for r in spark.read.parquet(d).collect():
+            if r.user_id not in latest or latest[r.user_id][0] < epoch:
+                latest[r.user_id] = (epoch, r.n_events, float(r.total_value))
+    assert set(latest) == set(truth), "user set diverged"
+    for uid, (n, s) in truth.items():
+        got_n, got_s = latest[uid][1], latest[uid][2]
+        assert got_n == n, f"user {uid}: n_events {got_n} != {n} (double/lost count)"
+        assert abs(got_s - s) <= 1e-6 * max(1.0, abs(s)), f"user {uid}: total {got_s} != {s}"
