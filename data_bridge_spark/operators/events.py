@@ -644,11 +644,17 @@ def events_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. Per-user sums and the running numerator are decimal-exact
     (order-insensitive); shares divide identical doubles.
 
-    Scale note: the ranked running sum is a global ordered window over
-    the PER-USER aggregate (|users| rows, not events); for key spaces
-    too large for that, profile_skew's top-k and the bucketed prefix sum
-    (stats_ks pattern) are the registered unbounded-cardinality paths —
-    this operator's contract is the exact minimal covering set."""
+    Scale note (r10): the running sum and rank over (v_dec DESC, user
+    ASC) use the two-level bucketed prefix sum proven in stats_ks /
+    feature_quantile_bucket — width_bucket range partitioning on v_dec,
+    per-bucket parallel windows, offsets from a bounded bucket-total
+    table — NOT a global ordered window (which drags every user onto one
+    partition; this was the repo's last unbounded-cardinality
+    single-partition window). Ties in v_dec always share a bucket
+    (width_bucket is a pure function of the value), so the user_id
+    tie-break never crosses a bucket boundary and every per-row
+    cumulative value equals the single-window formulation exactly —
+    the unchanged oracle proves it."""
     t = Tables(spark, sf_dir)
     from data_bridge_spark.functions.exact import dec, dec_to_double
 
@@ -661,12 +667,49 @@ def events_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum(dec("value")).alias("v_dec"))
     )
-    w = W.orderBy(F.col("v_dec").desc(), F.col("user_id").asc())
-    ranked = per_u.select(
-        "user_id",
-        "v_dec",
-        F.sum("v_dec").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("run_dec"),
-        F.row_number().over(w).cast("bigint").alias("rk"),
+    # Two-level prefix sum over DESC value order: buckets are ranges of
+    # v_dec, so bucket N_BUCKETS+1 (v == max) holds the top spenders and
+    # the global DESC order is (bucket DESC, v_dec DESC, user ASC).
+    n_buckets = 512
+    vd = F.col("v_dec").cast("double")
+    rng = per_u.agg(F.min(vd).alias("_vmin"), F.max(vd).alias("_vmax"))
+    bucketed = (
+        per_u.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "_bucket",
+            F.coalesce(
+                F.width_bucket(vd, "_vmin", "_vmax", F.lit(n_buckets)), F.lit(1)
+            ),
+        )
+        .drop("_vmin", "_vmax")
+    )
+    in_b = W.partitionBy("_bucket").orderBy(
+        F.col("v_dec").desc(), F.col("user_id").asc()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = bucketed.withColumn("_l_run", F.sum("v_dec").over(in_b)).withColumn(
+        "_l_rk", F.count(F.lit(1)).over(in_b)
+    )
+    btot = bucketed.groupBy("_bucket").agg(
+        F.sum("v_dec").alias("_b_run"), F.count(F.lit(1)).alias("_b_rk")
+    )
+    # offsets: totals of all HIGHER-value buckets (bucket index DESC) —
+    # an order-only window over a table bounded by the constant bucket
+    # count, the same trivially-small edge as stats_ks
+    prior = W.orderBy(F.col("_bucket").desc()).rowsBetween(W.unboundedPreceding, -1)
+    zero_dec = F.lit(0).cast("decimal(38,6)")
+    offsets = btot.select(
+        "_bucket",
+        F.coalesce(F.sum("_b_run").over(prior), zero_dec).alias("_o_run"),
+        F.coalesce(F.sum("_b_rk").over(prior), F.lit(0)).alias("_o_rk"),
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "user_id",
+            "v_dec",
+            (F.col("_o_run") + F.col("_l_run")).alias("run_dec"),
+            (F.col("_o_rk") + F.col("_l_rk")).cast("bigint").alias("rk"),
+        )
     )
     tot = per_u.agg(F.sum("v_dec").alias("t_dec"), F.count(F.lit(1)).alias("n_users"))
     t_d = dec_to_double(F.col("t_dec"), 6)

@@ -470,17 +470,23 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count (shuffle on token, map-side combine) + top-K; pass 2
     re-explodes and LEFT-joins the K-row vocab — broadcast, so the doc-
     side never shuffles on the token. Counts are integers; the rate is
-    one exact division."""
+    one exact division.
+
+    The top-K itself is ``orderBy().limit(K)`` — TakeOrderedAndProject
+    (partition-local k + driver merge), not a row_number window over the
+    full token-count table: distinct-token cardinality at 100 TB is
+    unbounded (typos, hashes), so ranking it on one partition is exactly
+    the single-partition window this repo bans (r10; the total tie-break
+    makes the K-set identical either way)."""
     t = Tables(spark, sf_dir)
     toks = t.documents.select(
         "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _VOCAB_K)
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(_VOCAB_K)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
     return (

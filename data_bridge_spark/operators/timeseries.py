@@ -233,19 +233,25 @@ def events_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WRONGLY-absent declared type is still caught by the oracle's value
     # compare (its sums would land in 'other' or vanish, and mismatch).
     known = [c for c in discovered if c in set(_EVENT_TYPES_STATIC)]
-    has_other = len(known) < len(discovered)
     src = t.events.withColumn(
         "etype",
         F.when(
             F.col("event_type").isin(list(_EVENT_TYPES_STATIC)), F.col("event_type")
         ).when(F.col("event_type").isNotNull(), F.lit("other")),
     )
+    # 'other' is in the pivot value list UNCONDITIONALLY: if discovery
+    # saw no out-of-domain type but the vocabulary drifts between plan
+    # time and execution (the 100 TB motivation above), rows remapped to
+    # 'other' must land in the bucket, not be silently dropped by an
+    # explicit value list that lacks it. When nothing drifts the column
+    # is all-NULL and coalesces to 0.0 — same output as before (r10,
+    # ADVICE).
     piv = (
         src.groupBy(F.to_date("ts").alias("day_d"))
-        .pivot("etype", known + (["other"] if has_other else []))
+        .pivot("etype", known + ["other"])
         .agg(F.sum(F.col("value").cast("decimal(18,6)")))
     )
-    present = set(known) | ({"other"} if has_other else set())
+    present = set(known) | {"other"}
     return piv.select(
         "day_d",
         *[

@@ -78,12 +78,16 @@ def get_spark(
                 file=sys.stderr,
             )
         builder = builder.config(k, v)
-    pre_existing = SparkSession.getActiveSession()
     spark = builder.getOrCreate()
-    if env_pairs and pre_existing is not None:
+    if env_pairs:
         # getOrCreate ignores every builder conf when a session already
-        # lives: surface any sweep key the live session does not carry so
-        # the sweep fails loudly instead of silently running unperturbed.
+        # lives — and "already lives" includes the default session reused
+        # for a thread where no session is ACTIVE, which a
+        # getActiveSession() pre-check misses (r10, ADVICE). So always
+        # compare the live conf against the sweep keys after getOrCreate:
+        # a freshly created session matches and stays silent; any reuse
+        # path that dropped a key fails loudly instead of letting a sweep
+        # run unperturbed.
         stale = {
             k: spark.conf.get(k, None)
             for k, v in env_pairs.items()

@@ -39,6 +39,15 @@ if TYPE_CHECKING:
 # string (Spark's default nullValue "" conflates the two on read), and
 # readers must pass multiLine=true or an embedded newline splits one record
 # into two. Every CSV site in the engine uses these paired options.
+#
+# Residual conflation (documented, r10): a GENUINE string value '\\N' is
+# written unescaped and reads back as NULL — Spark matches nullValue both
+# unquoted and quoted on read, so no quoting escapes it. This is the
+# standard trade of every sentinel-token CSV scheme (mysqldump, Hive text
+# tables make the same one); the literal '\\N' string is in the edgevals
+# VARCHAR corpus (tools/make_edgevals.py) so any CSV round-trip query
+# surfaces it the day a workload actually carries that value. Lossless
+# transport of arbitrary strings is what the parquet sinks are for.
 CSV_NULL_TOKEN = "\\N"
 CSV_WRITE_OPTIONS = {"header": "true", "nullValue": CSV_NULL_TOKEN}
 CSV_READ_OPTIONS = {"header": "true", "nullValue": CSV_NULL_TOKEN, "multiLine": "true"}

@@ -9,6 +9,8 @@ test_plan_properties.py.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from data_bridge_spark.registry import load_all
@@ -46,7 +48,7 @@ ALLOW: dict[str, str] = {
     "curriculum_order": "distributed-CDF prefix sum (stats_ks pattern) plus a scalar-edge cross join vs the 1-row corpus-count aggregate (broadcast sides are O(1))",
     "text_collocations": "two scalar-edge cross joins vs the 1-row pair-total and token-total aggregates (broadcast sides are O(1))",
     "feature_vector_assemble": "fit/transform scalar edge: cross join vs the 1-row fitted-stats aggregate (n, sums, min, max) feeding the whole assembled vector (broadcast side is O(1))",
-    "events_pareto_users": "scalar-edge cross join vs the 1-row (grand total, user count) aggregate (broadcast side is O(1)); the ordered window runs over the per-user aggregate, documented exact-small-keyspace contract",
+    "events_pareto_users": "distributed-CDF prefix sum (stats_ks pattern): cross joins vs the 1-row (min,max) bucket-range and (grand total, user count) aggregates (broadcast sides are O(1)); per-bucket windows + bounded offset table replace the global ordered window (retired r10)",
 }
 
 
@@ -58,3 +60,45 @@ def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
         assert hits, f"{name} allowlisted ({ALLOW[name]}) but plans clean — drop it from ALLOW"
     else:
         assert not hits, f"{name} plans {hits} — not allowlisted, fix the plan or justify"
+
+
+# ---------------------------------------------------------------------------
+# Order-only (single-partition) window audit: a window with no partition
+# spec drags its whole input onto one task — fatal at 100 TB unless the
+# input is bounded by construction. Allowed inputs, each with the bound:
+#   (a) the `_bucket` offset tables of the distributed-CDF prefix-sum
+#       pattern (≤ n_buckets rows, a compile-time constant) — recognized
+#       structurally by the ordering column;
+#   (b) explicitly allowlisted bounded heads below.
+# events_pareto_users' |users|-grain global window was the last
+# unbounded-cardinality offender; it was rewritten onto (a) in r10.
+
+ORDER_ONLY_ALLOW: dict[str, str] = {
+    "curriculum_order": "schedule-preview rank above the limit(100) TakeOrdered head — the window input is ≤100 rows",
+    "shuffle_deterministic": "rank above the limit(100) TakeOrdered head — the window input is ≤100 rows",
+    "profile_skew": "share-of-total window over the top-k survivor set (bounded by the constant k)",
+}
+
+_WINSPEC = re.compile(r"windowspecdefinition\(([^,]+),")
+
+
+@pytest.mark.parametrize("name", sorted(REG))
+def test_no_unbounded_order_only_window(spark, sf_dir, name):
+    plan = REG[name].fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+    # a partitioned spec's first argument is the partition column; an
+    # order-only spec's first argument is a sort column carrying ASC/DESC
+    order_only = [
+        s.strip()
+        for s in _WINSPEC.findall(plan)
+        if (" ASC" in s or " DESC" in s) and not s.lstrip().startswith("_bucket#")
+    ]
+    if name in ORDER_ONLY_ALLOW:
+        assert order_only, (
+            f"{name} allowlisted ({ORDER_ONLY_ALLOW[name]}) but has no "
+            f"order-only window — drop it from ORDER_ONLY_ALLOW"
+        )
+    else:
+        assert not order_only, (
+            f"{name} has an order-only window over {order_only} — single "
+            f"partition at scale; bucket it (stats_ks pattern) or justify"
+        )

@@ -223,6 +223,23 @@ def test_quantile_bucket_has_no_global_window(spark, sf_dir):
             )
 
 
+def test_pareto_users_has_no_global_window(spark, sf_dir):
+    """events_pareto_users (r10 rewrite): the running value sum and rank
+    over (v_dec DESC, user ASC) run per range-bucket with a bounded
+    offsets table — NEVER as one global ordered window holding every
+    user on a single partition (the repo's last unbounded-cardinality
+    order-only window before r10). Same receipt as
+    test_quantile_bucket_has_no_global_window."""
+    plan = plan_of(REG["events_pareto_users"].fn(spark, sf_dir))
+    specs = _window_specs(plan)
+    assert specs, "expected the prefix-sum windows in the plan"
+    for first_arg in specs:
+        if " ASC" in first_arg or " DESC" in first_arg:
+            assert first_arg.lstrip().startswith("_bucket#"), (
+                f"order-only window over the user grain: {first_arg}"
+            )
+
+
 def test_curriculum_order_previews_with_takeordered(spark, sf_dir):
     """curriculum_order's schedule preview must be partition-local top-k
     (TakeOrderedAndProject), not a global sort, and the corpus-wide rank

@@ -79,7 +79,12 @@ KEYS: dict[str, tuple[str, ...]] = {
     "embeddings": ("vec_id",),
 }
 
-EDGE_STRINGS = ("''", "'\U0001F600\U0001D518 unicode'", "'a|b\nc,d'")
+# The literal '\N' string is the CSV contract's nullValue token
+# (sinks/writers.py CSV_NULL_TOKEN): a genuine '\N' value is written
+# unescaped and would read back as NULL — the one residual conflation the
+# r9 contract left. Keeping it in the corpus means any CSV round-trip
+# query would catch it the day it matters (r10, ADVICE).
+EDGE_STRINGS = ("''", "'\U0001F600\U0001D518 unicode'", "'a|b\nc,d'", "'\\N'")
 
 
 def _edge_expr(pk: str, name: str, typ: str, i: int) -> str:

@@ -163,8 +163,18 @@ def sqldigest_compare(con, sdf, oracle: str) -> tuple[list[str], int]:
     order = sorted(scols)
     int_cols = [c for c in order if stypes[c].lower() not in ("string", "date")]
 
-    # DuckDB side: one aggregate row out of the oracle CTE
-    canon_cols = ", ".join(f"COALESCE(CAST({c} AS VARCHAR), chr(1))" for c in order)
+    # DuckDB side: one aggregate row out of the oracle CTE.
+    # Each field is LENGTH-PREFIXED (netstring-style "len:value") before
+    # the '|' concat: a bare separator is ambiguous when a varchar value
+    # itself contains '|' or \x01 — the edgevals fixture injects exactly
+    # those — so ('a|b','c') and ('a','b|c') would digest-equal and mask
+    # a real divergence. With the prefix the encoding is a prefix code:
+    # no two distinct rows concat to the same string (r10, ADVICE).
+    canon_cols = ", ".join(
+        f"COALESCE(concat(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR), ':', "
+        f"CAST({c} AS VARCHAR)), chr(1))"
+        for c in order
+    )
     hexterms = " + ".join(
         f"CAST(strpos('{_HEXDIGITS}', substr(__h, {i}, 1)) - 1 AS HUGEINT)"
         f" * CAST('{16 ** (15 - i)}' AS HUGEINT)"
@@ -177,14 +187,26 @@ def sqldigest_compare(con, sdf, oracle: str) -> tuple[list[str], int]:
         f"SELECT COUNT(*) AS n, COALESCE(SUM({hexterms}), 0) AS hsum{sums} "
         f"FROM (SELECT md5(concat_ws('|', {canon_cols})) AS __h, * FROM ({oracle}) t0) t"
     )
-    orow = con.execute(duck_sql).fetchone()
-    ocols_out = [d[0] for d in con.execute(duck_sql).description]
+    # run ONCE and reuse the cursor — description re-executes the full
+    # aggregate otherwise, doubling the 481M-row oracle this lane exists
+    # for (r10, ADVICE)
+    cur = con.execute(duck_sql)
+    orow = cur.fetchone()
+    ocols_out = [d[0] for d in cur.description]
     odig = {k: int(v) for k, v in zip(ocols_out, orow)}
 
     # Spark side: the identical aggregates, reduced executor-side
+    sval = [F.col(c).cast("string") for c in order]
     h = F.md5(
         F.concat_ws(
-            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in order]
+            "|",
+            *[
+                F.coalesce(
+                    F.concat(F.length(v).cast("string"), F.lit(":"), v),
+                    F.lit("\x01"),
+                )
+                for v in sval
+            ],
         )
     )
     hval = F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
