@@ -170,9 +170,12 @@ def sqldigest_compare(con, sdf, oracle: str) -> tuple[list[str], int]:
     # those — so ('a|b','c') and ('a','b|c') would digest-equal and mask
     # a real divergence. With the prefix the encoding is a prefix code:
     # no two distinct rows concat to the same string (r10, ADVICE).
+    # NB: '||' (NULL-propagating), NOT DuckDB's concat() — concat() SKIPS
+    # NULL arguments, so a NULL field would encode as ':' instead of
+    # falling through to the chr(1) sentinel like Spark's F.concat does
     canon_cols = ", ".join(
-        f"COALESCE(concat(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR), ':', "
-        f"CAST({c} AS VARCHAR)), chr(1))"
+        f"COALESCE(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' || "
+        f"CAST({c} AS VARCHAR), chr(1))"
         for c in order
     )
     hexterms = " + ".join(
