@@ -533,9 +533,19 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_csv",
     # the CSV round trip stringifies every column; the oracle applies the
-    # same casts, proving the artifact preserved the joined content
-    oracle="""
-    SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, r_name
+    # same casts, proving the artifact preserved the joined content.
+    # NULLIF models the contract's ONE documented lossy value: a genuine
+    # string equal to the \N null token is byte-identical to NULL on disk
+    # (sinks/writers.py CSV_NULL_TOKEN — no write option separates them)
+    # and reads back as NULL. The r10 edgevals corpus carries a literal
+    # '\N' nation name precisely so this oracle states the trade instead
+    # of the sweep silently never exercising it; every OTHER hostile
+    # value (newlines, '', separators) must round-trip exactly
+    # (tests/test_csv_fidelity.py).
+    oracle=r"""
+    SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+           NULLIF(n_name, '\N') AS n_name,
+           NULLIF(r_name, '\N') AS r_name
     FROM nation JOIN region ON n_regionkey = r_regionkey
     """,
     tags=("sink",),
