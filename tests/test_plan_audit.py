@@ -52,9 +52,23 @@ ALLOW: dict[str, str] = {
 }
 
 
+# one physical-plan build per query, shared by both parametrized audits
+# (several operators run real Spark jobs at plan-BUILD time — k-means /
+# pivot-discovery collect edges — so building 234 plans twice is minutes)
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    if name not in _PLAN_CACHE:
+        _PLAN_CACHE[name] = (
+            REG[name].fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+        )
+    return _PLAN_CACHE[name]
+
+
 @pytest.mark.parametrize("name", sorted(REG))
 def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
-    plan = REG[name].fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+    plan = _plan(spark, sf_dir, name)
     hits = [f for f in FLAGS if f in plan]
     if name in ALLOW:
         assert hits, f"{name} allowlisted ({ALLOW[name]}) but plans clean — drop it from ALLOW"
@@ -84,7 +98,7 @@ _WINSPEC = re.compile(r"windowspecdefinition\(([^,]+),")
 
 @pytest.mark.parametrize("name", sorted(REG))
 def test_no_unbounded_order_only_window(spark, sf_dir, name):
-    plan = REG[name].fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+    plan = _plan(spark, sf_dir, name)
     # a partitioned spec's first argument is the partition column; an
     # order-only spec's first argument is a sort column carrying ASC/DESC
     order_only = [
