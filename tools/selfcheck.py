@@ -292,19 +292,24 @@ def main() -> int:
         print(f"EXCLUDED (not checked here): {sorted(excluded & set(registry))}")
 
     spark = get_spark("selfcheck")
-    con = duckdb.connect()
-    # Bound the oracle engine explicitly: DuckDB's default memory_limit is
-    # 80% of system RAM, which collides with the co-resident Spark JVM on
-    # the big-SF sweeps — the r9 sf10 slice died with a 256KB "bad
-    # allocation" inside a sort that runs FINE in 24GB once a real limit
-    # (and a spill dir) makes DuckDB spill instead of racing the JVM to
-    # the system wall. 32GB handles every oracle through sf10.
-    con.execute("SET memory_limit='32GB'")
-    import tempfile as _tf
 
-    con.execute(f"SET temp_directory='{_tf.mkdtemp(prefix='dbs_duck_spill_')}'")
-    for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    def fresh_con():
+        # Bound the oracle engine explicitly: DuckDB's default memory_limit
+        # is 80% of system RAM, which collides with the co-resident Spark
+        # JVM on the big-SF sweeps — the r9 sf10 slice died with a 256KB
+        # "bad allocation" inside a sort that runs FINE in 24GB once a real
+        # limit (and a spill dir) makes DuckDB spill instead of racing the
+        # JVM to the system wall. 32GB handles every oracle through sf10.
+        c = duckdb.connect()
+        c.execute("SET memory_limit='32GB'")
+        import tempfile as _tf
+
+        c.execute(f"SET temp_directory='{_tf.mkdtemp(prefix='dbs_duck_spill_')}'")
+        for t in TABLE_NAMES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
 
     from data_bridge_spark.session import drop_dead_blocks as _ddb
 
@@ -329,6 +334,11 @@ def main() -> int:
             except Exception:
                 print(f"FAIL {name}: sql-digest error\n{traceback.format_exc()}")
                 failures.append(name)
+                try:  # same poisoned-allocator recovery as the streamed lane
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con()
                 continue
             if problems:
                 print(f"FAIL {name}: {'; '.join(problems)}")
@@ -368,6 +378,15 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failures.append(name)
+            # a DuckDB OOM poisons the connection's allocator — every later
+            # oracle on it fails too (r10 sf10 Part A: one OOM under
+            # transient system pressure cascaded into 144 bogus FAILs).
+            # Rebuild so each query is judged on its own memory behavior.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
             continue
         try:
             sdig = RowDigest(scols)
