@@ -309,17 +309,28 @@ def main() -> int:
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
 
-    con = fresh_con()
-
     from data_bridge_spark.session import drop_dead_blocks as _ddb
 
     def drop_dead_blocks() -> None:
         _ddb(spark)
 
     failures: list[str] = []
+    con = None
     for name in names:
         q = registry[name]
         drop_dead_blocks()
+        # Fresh bounded connection PER QUERY (r10): a heavy oracle can
+        # leave the buffer manager's 32GB accounting full even after it
+        # SUCCEEDS (sf10: ts_anomaly_resid passed, then every later oracle
+        # OOM'd on kilobyte allocations until the process died). Reconnect
+        # cost is milliseconds (lazy parquet views); judging each query on
+        # its own memory behavior is worth 234 of those.
+        if con is not None:
+            try:
+                con.close()
+            except Exception:
+                pass
+        con = fresh_con()
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
@@ -334,11 +345,6 @@ def main() -> int:
             except Exception:
                 print(f"FAIL {name}: sql-digest error\n{traceback.format_exc()}")
                 failures.append(name)
-                try:  # same poisoned-allocator recovery as the streamed lane
-                    con.close()
-                except Exception:
-                    pass
-                con = fresh_con()
                 continue
             if problems:
                 print(f"FAIL {name}: {'; '.join(problems)}")
@@ -378,15 +384,6 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failures.append(name)
-            # a DuckDB OOM poisons the connection's allocator — every later
-            # oracle on it fails too (r10 sf10 Part A: one OOM under
-            # transient system pressure cascaded into 144 bogus FAILs).
-            # Rebuild so each query is judged on its own memory behavior.
-            try:
-                con.close()
-            except Exception:
-                pass
-            con = fresh_con()
             continue
         try:
             sdig = RowDigest(scols)
