@@ -612,14 +612,34 @@ _SKY_BUCKETS = 32
 
 @register(
     "skyline_grid",
+    # O(n log n) 2D-skyline oracle (r10) — replaces the correlated
+    # NOT-EXISTS form, whose DuckDB plan is a quadratic blockwise loop
+    # (133 s at sf1, projected hours at sf10; the new form is <2 s at
+    # sf10). Equivalence: a point is undominated iff its price beats
+    # every price at a STRICTLY smaller size (running min over the
+    # size order, RANGE ..1 PRECEDING) and is the MIN within its own
+    # size (ties share the skyline — no strict inequality in the
+    # dominance test). NULL size/price rows pass through unfiltered:
+    # under the NOT-EXISTS semantics every comparison against them is
+    # UNKNOWN, so they are never dominated and never dominate; MIN
+    # ignores NULL prices and PARTITION BY isolates NULL sizes, so
+    # they cannot contaminate the non-NULL mins either. A/B-verified
+    # against the NOT-EXISTS form at sf0.001/sf0.01/sf0.1 plus
+    # NULL/duplicate/empty/single synthetic cases (EXCEPT both ways,
+    # zero diffs).
     oracle="""
-    SELECT p_partkey, p_size, p_retailprice
-    FROM part a
-    WHERE NOT EXISTS (
-        SELECT 1 FROM part b
-        WHERE b.p_size <= a.p_size AND b.p_retailprice <= a.p_retailprice
-          AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice)
+    WITH t AS (
+        SELECT p_partkey, p_size, p_retailprice,
+               MIN(p_retailprice) OVER (
+                   ORDER BY p_size
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_lt,
+               MIN(p_retailprice) OVER (PARTITION BY p_size) AS min_eq
+        FROM part
     )
+    SELECT p_partkey, p_size, p_retailprice
+    FROM t
+    WHERE p_size IS NULL OR p_retailprice IS NULL
+       OR ((min_lt IS NULL OR min_lt > p_retailprice) AND p_retailprice = min_eq)
     """,
     tags=("skyline", "scale"),
 )
