@@ -301,7 +301,13 @@ def main() -> int:
         # limit (and a spill dir) makes DuckDB spill instead of racing the
         # JVM to the system wall. 32GB handles every oracle through sf10.
         c = duckdb.connect()
-        c.execute("SET memory_limit='32GB'")
+        # Env override (r10): a lone heavy oracle in its own process can
+        # use more than the 32GB co-residency default — ts_holt_winters'
+        # per-key list fold OOM'd the 32GB bound at sf10 while the rest
+        # of the host sat idle.
+        c.execute(
+            f"SET memory_limit='{_os.environ.get('SELFCHECK_DUCK_MEM', '32GB')}'"
+        )
         import tempfile as _tf
 
         c.execute(f"SET temp_directory='{_tf.mkdtemp(prefix='dbs_duck_spill_')}'")
