@@ -308,6 +308,12 @@ def main() -> int:
         c.execute(
             f"SET memory_limit='{_os.environ.get('SELFCHECK_DUCK_MEM', '32GB')}'"
         )
+        # DuckDB's peak memory for the list-fold oracles scales with its
+        # thread count (per-thread lambda intermediates, not spillable) —
+        # ts_holt_winters' 9-slot fold at sf10 OOM'd a 90GB bound at the
+        # default 32 threads but fits comfortably once capped (r10).
+        if _os.environ.get("SELFCHECK_DUCK_THREADS"):
+            c.execute(f"SET threads={int(_os.environ['SELFCHECK_DUCK_THREADS'])}")
         import tempfile as _tf
 
         c.execute(f"SET temp_directory='{_tf.mkdtemp(prefix='dbs_duck_spill_')}'")

@@ -1,0 +1,143 @@
+"""Sharded full-value compare: the standard strict RowDigest lane, run
+per key-shard on BOTH engines.
+
+Exists for queries whose DuckDB oracle cannot fold the full keyspace in
+one process at big SF — ts_holt_winters at sf10 OOMs every memory bound
+tried (32/80/90GB, threads 32 and 4): the per-user 9-slot list_reduce
+intermediates are not spillable, and unlike the multi-hour-but-finite
+ppjoin oracles the failure is hard. The ENGINE side is fine (sf1
+full-value green within 32GB); the ORACLE needs the keyspace split.
+
+Mechanics: both engines are filtered by the same total predicate on the
+shard column — ``(col IS NULL AND shard = 0) OR col % n = shard`` — so
+the n shard outputs partition the full result exactly (every output row
+lands in exactly one shard; NULL keys land in shard 0). Each shard is
+compared with selfcheck's strict canonical-multiset lane (same canon(),
+same RowDigest), and n green shards therefore equal one green full-value
+check at the SF. Filter pushdown through the oracle's GROUP BY on the
+shard column is what bounds the fold memory to ~1/n.
+
+Usage: python tools/shard_check.py SF_DIR NAME SHARD_COL N_SHARDS
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from selfcheck import RowDigest, canon_duck_type, canon_spark_type  # noqa: E402
+
+from data_bridge_spark.catalog import TABLE_NAMES  # noqa: E402
+from data_bridge_spark.registry import load_all  # noqa: E402
+from data_bridge_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir, name, col, n_shards = (
+        sys.argv[1],
+        sys.argv[2],
+        sys.argv[3],
+        int(sys.argv[4]),
+    )
+    registry = load_all()
+    q = registry[name]
+    assert q.oracle is not None, f"{name} has no oracle"
+    spark = get_spark("shard_check")
+    sdf_full = q.fn(spark, sf_dir)
+    scols = sdf_full.columns
+    stypes = dict(sdf_full.dtypes)
+    assert col in scols, f"shard col {col} not in output {scols}"
+
+    total_rows = 0
+    failures = 0
+    for k in range(n_shards):
+        pred = f"(({col} IS NULL AND {k} = 0) OR {col} % {n_shards} = {k})"
+        t0 = time.time()
+        con = duckdb.connect()
+        con.execute("SET memory_limit='32GB'")
+        import tempfile
+
+        con.execute(
+            f"SET temp_directory='{tempfile.mkdtemp(prefix='dbs_shard_spill_')}'"
+        )
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        try:
+            res = con.execute(
+                f"SELECT * FROM ({q.oracle}) __shard_t WHERE {pred}"
+            )
+            ocols = [d[0] for d in res.description]
+            odig = RowDigest(ocols)
+            while True:
+                chunk = res.fetchmany(100_000)
+                if not chunk:
+                    break
+                for r in chunk:
+                    odig.add_row(r)
+        except Exception:
+            print(f"FAIL {name} shard {k}: duckdb error\n{traceback.format_exc()}")
+            failures += 1
+            con.close()
+            continue
+        problems: list[str] = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            otypes = {
+                r[0]: r[1]
+                for r in con.execute(
+                    f"DESCRIBE SELECT * FROM ({q.oracle})"
+                ).fetchall()
+            }
+            for c, st in stypes.items():
+                if canon_spark_type(st) != canon_duck_type(otypes.get(c, "?")):
+                    problems.append(f"dtype {c}: spark={st} oracle={otypes.get(c)}")
+        con.close()
+        try:
+            sdig = RowDigest(scols)
+            from pyspark.sql import functions as F
+
+            for r in (
+                sdf_full.filter(F.expr(pred))
+                .toLocalIterator(prefetchPartitions=True)
+            ):
+                sdig.add_row(tuple(r))
+        except Exception:
+            print(f"FAIL {name} shard {k}: spark error\n{traceback.format_exc()}")
+            failures += 1
+            continue
+        if sdig.n != odig.n:
+            problems.append(f"rowcount spark={sdig.n} oracle={odig.n}")
+        if not problems and not sdig.matches(odig):
+            problems.append("values differ")
+        if problems:
+            print(f"FAIL {name} shard {k}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            total_rows += sdig.n
+            print(
+                f"ok   {name} shard {k}/{n_shards}: {sdig.n} rows match "
+                f"({time.time()-t0:.1f}s)",
+                flush=True,
+            )
+    if failures:
+        print(f"{n_shards - failures}/{n_shards} shards pass")
+        return 1
+    print(
+        f"ok   {name}: {total_rows} rows match across {n_shards} shards "
+        f"(sharded full-value)"
+    )
+    print(f"{n_shards}/{n_shards} shards pass")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
