@@ -39,12 +39,36 @@ from data_bridge_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
+    # Parent mode (no --shard): one subprocess per shard. A heavy oracle
+    # can leave the in-process DuckDB arena unreleasable even after it
+    # SUCCEEDS (the same poison selfcheck re-execs around), so shard
+    # isolation must be process isolation — the first in-process version
+    # of this tool passed shard 0 and then OOM'd shard 1 on a 307-byte
+    # allocation.
+    if "--shard" not in sys.argv:
+        import subprocess
+
+        n_shards = int(sys.argv[4])
+        rc = 0
+        for k in range(n_shards):
+            r = subprocess.run(
+                [sys.executable, __file__, *sys.argv[1:5], "--shard", str(k)]
+            )
+            rc = rc or r.returncode
+        print(
+            f"{'FAIL' if rc else 'ok  '} {sys.argv[2]}: sharded full-value "
+            f"run complete across {n_shards} process-isolated shards "
+            f"(count the per-shard ok lines)"
+        )
+        return rc
+
     sf_dir, name, col, n_shards = (
         sys.argv[1],
         sys.argv[2],
         sys.argv[3],
         int(sys.argv[4]),
     )
+    only_shard = int(sys.argv[sys.argv.index("--shard") + 1])
     registry = load_all()
     q = registry[name]
     assert q.oracle is not None, f"{name} has no oracle"
@@ -56,7 +80,7 @@ def main() -> int:
 
     total_rows = 0
     failures = 0
-    for k in range(n_shards):
+    for k in (only_shard,):
         pred = f"(({col} IS NULL AND {k} = 0) OR {col} % {n_shards} = {k})"
         t0 = time.time()
         con = duckdb.connect()
@@ -128,15 +152,7 @@ def main() -> int:
                 f"({time.time()-t0:.1f}s)",
                 flush=True,
             )
-    if failures:
-        print(f"{n_shards - failures}/{n_shards} shards pass")
-        return 1
-    print(
-        f"ok   {name}: {total_rows} rows match across {n_shards} shards "
-        f"(sharded full-value)"
-    )
-    print(f"{n_shards}/{n_shards} shards pass")
-    return 0
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
