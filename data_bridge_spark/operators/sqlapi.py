@@ -16,20 +16,30 @@ _CTE_SQL = """
     WITH customer_totals AS (
         SELECT o_custkey,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total_spent
         FROM orders
         GROUP BY o_custkey
     ),
     segment_stats AS (
         SELECT c.c_mktsegment,
                COUNT(*) AS n_customers,
-               CAST(SUM(CAST(t.total_spent AS DECIMAL(18,6))) AS DOUBLE) AS segment_revenue
+               CAST(SUM(t.total_spent) AS DECIMAL(38,6)) AS segment_revenue
         FROM customer c
         JOIN customer_totals t ON c.c_custkey = t.o_custkey
         GROUP BY c.c_mktsegment
     )
     SELECT * FROM segment_stats
 """
+# Exact DECIMAL end to end — no float anywhere (r10). The original text
+# had two engine-specific rounding seams the sf10 sweep exposed (spark
+# ...297.0 vs duckdb ...296.9999 once a segment held 1.5M customers):
+# (1) the per-customer sum was cast to DOUBLE and back to DECIMAL(18,6)
+# inside the outer SUM — double->decimal guard-digit rounding differs
+# between engines; (2) even with an exact interior, the terminal
+# decimal->DOUBLE cast rounds differently when the exact sum lands near
+# a float64 representability midpoint at 7.6e11 magnitudes (double
+# spacing there is ~1.2e-4). Revenue is money: emit DECIMAL(38,6) and
+# let the caller choose a lossy cast (functions/exact.py doctrine).
 
 
 @register(
