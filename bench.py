@@ -121,6 +121,50 @@ def _prev_round_timings() -> tuple[str, dict[str, float], float | None] | None:
     return None
 
 
+def normalized_flags(
+    timings: dict[str, float],
+    prev_q: dict[str, float],
+    probe_ratio: float | None,
+) -> tuple[float, float | None, dict[str, float], list[str]]:
+    """Placement-normalized regression flags (r10, bounded r11).
+
+    The md5 probe ratio alone overstates the placement penalty for
+    parallel JVM work (r10: a host whose single-thread probe read 2.04x
+    slower ran the bench 7.5% FASTER), so scaling expectations by the
+    raw probe means the gate can never convict on a slow-probe host.
+    Bound it with the MEDIAN observed per-query ratio — a robust
+    placement estimate that one genuinely regressed query cannot move
+    (unlike the total ratio, which the regression itself inflates):
+    applied = min(probe_ratio, median_observed). A real regression
+    stands out against the median-derived expectation under any probe
+    reading; a uniformly slow host still gets its allowance from
+    whichever estimate is SMALLER, keeping the gate able to convict.
+
+    Returns (applied_ratio, median_observed, delta_normalized, flagged).
+    Pure function of its inputs so tests can inject regressions under
+    synthetic 1x and 2x hosts (tests/test_bench_flags.py).
+    """
+    common = [n for n in timings if n in prev_q]
+    # sub-100ms priors jitter past any ratio; exclude from the estimate
+    ratios = sorted(
+        timings[n] / prev_q[n] for n in common if prev_q[n] > 0.1
+    )
+    median_obs = ratios[len(ratios) // 2] if ratios else None
+    if probe_ratio and median_obs is not None:
+        applied = min(probe_ratio, median_obs)
+    else:
+        applied = probe_ratio or median_obs or 1.0
+    norm = {n: round(timings[n] - prev_q[n] * applied, 3) for n in common}
+    # chase-list: >1.5x the placement-expected time AND >0.3s absolute
+    # (sub-second queries jitter past any ratio band)
+    flagged = sorted(
+        n
+        for n in common
+        if timings[n] > 1.5 * prev_q[n] * applied and norm[n] > 0.3
+    )
+    return applied, median_obs, norm, flagged
+
+
 def _archive_official_detail() -> None:
     """Self-maintaining per-round detail archive: if the repo-root
     BENCH_DETAIL.json is the driver's OFFICIAL run for some round
@@ -269,20 +313,19 @@ def main() -> None:
         # probe_ratio = probe_now / probe_prev (expected time on THIS
         # host), so a query is flagged only when it is slow relative to
         # what this placement should deliver.
-        if prev_probe:
-            ratio = round(cpu_probe_ms / prev_probe, 4)
-            norm = {
-                n: round(timings[n] - prev_q[n] * ratio, 3) for n in common
-            }
-            vs_prev["cpu_probe_ratio"] = ratio
-            vs_prev["delta_sec_normalized"] = norm
-            # chase-list: >1.5x the placement-expected time AND >0.3s
-            # absolute (sub-second queries jitter past any ratio band)
-            vs_prev["flagged_normalized"] = sorted(
-                n
-                for n in common
-                if timings[n] > 1.5 * prev_q[n] * ratio and norm[n] > 0.3
-            )
+        probe_ratio = (
+            round(cpu_probe_ms / prev_probe, 4) if prev_probe else None
+        )
+        applied, median_obs, norm, flagged = normalized_flags(
+            timings, prev_q, probe_ratio
+        )
+        vs_prev["cpu_probe_ratio"] = probe_ratio
+        vs_prev["median_observed_ratio"] = (
+            round(median_obs, 4) if median_obs is not None else None
+        )
+        vs_prev["applied_ratio"] = round(applied, 4)
+        vs_prev["delta_sec_normalized"] = norm
+        vs_prev["flagged_normalized"] = flagged
         detail["vs_prev"] = vs_prev
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:

@@ -623,7 +623,9 @@ _SKY_BUCKETS = 32
     # under the NOT-EXISTS semantics every comparison against them is
     # UNKNOWN, so they are never dominated and never dominate; MIN
     # ignores NULL prices and PARTITION BY isolates NULL sizes, so
-    # they cannot contaminate the non-NULL mins either. A/B-verified
+    # they cannot contaminate the non-NULL mins either — with the NULL
+    # sort position pinned by ASC NULLS LAST rather than inherited from
+    # DuckDB's default_null_order (r11, ADVICE). A/B-verified
     # against the NOT-EXISTS form at sf0.001/sf0.01/sf0.1 plus
     # NULL/duplicate/empty/single synthetic cases (EXCEPT both ways,
     # zero diffs).
@@ -631,7 +633,7 @@ _SKY_BUCKETS = 32
     WITH t AS (
         SELECT p_partkey, p_size, p_retailprice,
                MIN(p_retailprice) OVER (
-                   ORDER BY p_size
+                   ORDER BY p_size ASC NULLS LAST
                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_lt,
                MIN(p_retailprice) OVER (PARTITION BY p_size) AS min_eq
         FROM part

@@ -1,0 +1,70 @@
+"""The placement-normalized bench gate must be able to CONVICT (r11).
+
+r10's gate scaled expectations by the raw single-thread probe ratio, so
+a host whose probe read 2x slower gave every query a 2x allowance — an
+injected regression could never be flagged there (the r10 verdict's
+bench item). The bounded gate (bench.normalized_flags) clamps the
+applied ratio to the median observed per-query ratio, which one
+regressed query cannot move. These tests inject a 3x regression into a
+synthetic 12-query round and require it flagged under a 1x probe, a 2x
+probe (probe overstating — the r10 failure mode), and a genuinely
+2x-slow host — and require clean runs to stay unflagged in all three.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import normalized_flags  # noqa: E402
+
+PREV = {f"q{i}": 2.0 for i in range(12)}
+
+
+def _now(host_factor: float, regressed: str | None = None) -> dict:
+    t = {n: v * host_factor for n, v in PREV.items()}
+    if regressed:
+        t[regressed] = PREV[regressed] * host_factor * 3.0
+    return t
+
+
+def test_regression_flagged_under_1x_probe():
+    applied, med, norm, flagged = normalized_flags(_now(1.0, "q5"), PREV, 1.0)
+    assert flagged == ["q5"]
+    assert abs(applied - 1.0) < 0.05
+
+
+def test_regression_flagged_under_2x_probe_fast_host():
+    # the r10 failure mode: probe says 2.04x, actual wall is ~1x —
+    # the old gate gave q5 a 2x allowance and acquitted it
+    applied, med, norm, flagged = normalized_flags(
+        _now(1.0, "q5"), PREV, 2.04
+    )
+    assert flagged == ["q5"]
+    assert applied <= 1.05  # clamped to the median, not the probe
+
+
+def test_regression_flagged_on_genuinely_slow_host():
+    # host really is 2x slower AND q5 regressed 3x on top of that
+    applied, med, norm, flagged = normalized_flags(
+        _now(2.0, "q5"), PREV, 2.04
+    )
+    assert flagged == ["q5"]
+    assert 1.9 <= applied <= 2.04  # slow host keeps its allowance
+
+
+def test_clean_runs_unflagged():
+    for host, probe in [(1.0, 1.0), (1.0, 2.04), (2.0, 2.04), (0.5, 2.0)]:
+        applied, med, norm, flagged = normalized_flags(
+            _now(host), PREV, probe
+        )
+        assert flagged == [], (host, probe, flagged)
+
+
+def test_no_probe_falls_back_to_median():
+    applied, med, norm, flagged = normalized_flags(
+        _now(1.5, "q5"), PREV, None
+    )
+    assert flagged == ["q5"]
+    assert abs(applied - 1.5) < 0.05

@@ -284,6 +284,10 @@ def main() -> int:
     # without materializing the pair list on either engine.
     args, sqldigest = take_flag(args, "--sqldigest")
     args, excluded = take_flag(args, "--exclude")
+    # --poison-retried: names already re-judged once after a poison
+    # re-exec (r11, ADVICE) — never backed up over again, so the
+    # back-up-over-collateral-failures logic below cannot loop.
+    args, poison_retried = take_flag(args, "--poison-retried")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     registry = load_all()
@@ -348,11 +352,32 @@ def main() -> int:
         if failures and _duck_poisoned():
             # The process can't run any further oracle — hand the
             # remaining names (INCLUDING the current one: it never ran)
-            # to a fresh process appending to the same log. The name
-            # that genuinely OOM'd stays a FAIL in this log; only the
-            # collateral victims are retried. Progress is guaranteed:
-            # each exec consumes at least the one name that failed.
-            remaining = names[_qi:]
+            # to a fresh process appending to the same log. (r11,
+            # ADVICE): a SUCCEEDING oracle can be the poisoner, in which
+            # case the trailing contiguous FAILs are all collateral (they
+            # failed only because the arena was already dead) — back up
+            # over them and re-judge them in the fresh process, so the
+            # log's final FAIL set only contains names that failed in a
+            # healthy arena. A genuine OOM in that block simply fails
+            # again in the fresh process; --poison-retried pins each name
+            # to at most one such retry, so this cannot loop and each
+            # exec still makes progress.
+            retry_start = _qi
+            while (
+                retry_start > 0
+                and names[retry_start - 1] in failures
+                and names[retry_start - 1] not in poison_retried
+            ):
+                retry_start -= 1
+            collateral = names[retry_start:_qi]
+            for c_name in collateral:
+                failures.remove(c_name)
+                print(
+                    f"RETRY {c_name}: FAIL above may be collateral "
+                    f"(arena poisoned) — re-judged in the fresh process",
+                    flush=True,
+                )
+            remaining = names[retry_start:]
             print(
                 f"RE-EXEC: in-process DuckDB arena poisoned by a prior "
                 f"oracle OOM; continuing {len(remaining)} remaining names "
@@ -363,6 +388,9 @@ def main() -> int:
             sd = sorted(sqldigest & set(remaining))
             if sd:
                 argv += ["--sqldigest", *sd]
+            pr = sorted(poison_retried | set(collateral))
+            if pr:
+                argv += ["--poison-retried", *pr]
             try:
                 spark.stop()
             except Exception:
@@ -370,8 +398,9 @@ def main() -> int:
             import subprocess
 
             child = subprocess.run(argv)
-            print(f"\n(parent) {len(names[: _qi]) - len(failures)}/{_qi} "
-                  f"queries pass in this process before re-exec")
+            print(f"\n(parent) {_qi - len(failures) - len(collateral)}"
+                  f"/{retry_start} queries pass in this process before "
+                  f"re-exec ({len(collateral)} re-judged in the child)")
             if failures:
                 print("failing:", " ".join(failures))
             return child.returncode or (1 if failures else 0)

@@ -9,15 +9,26 @@ ppjoin oracles the failure is hard. The ENGINE side is fine (sf1
 full-value green within 32GB); the ORACLE needs the keyspace split.
 
 Mechanics: both engines are filtered by the same total predicate on the
-shard column — ``(col IS NULL AND shard = 0) OR col % n = shard`` — so
-the n shard outputs partition the full result exactly (every output row
-lands in exactly one shard; NULL keys land in shard 0). Each shard is
-compared with selfcheck's strict canonical-multiset lane (same canon(),
-same RowDigest), and n green shards therefore equal one green full-value
-check at the SF. Filter pushdown through the oracle's GROUP BY on the
-shard column is what bounds the fold memory to ~1/n.
+shard column — ``(col IS NULL AND shard = 0) OR ((col % n) + n) % n =
+shard`` — so the n shard outputs partition the full result exactly
+(every output row lands in exactly one shard; NULL keys land in shard 0;
+the double-mod pmod form keeps negative keys covered, since Spark and
+DuckDB ``%`` both take the dividend's sign and a bare ``col % n = k``
+would match no k in 0..n-1 for negative keys — (r11, ADVICE)). Each
+shard is compared with selfcheck's strict canonical-multiset lane (same
+canon(), same RowDigest), and n green shards therefore equal one green
+full-value check at the SF — the parent additionally asserts that the
+per-shard engine rowcounts sum to the full unfiltered count, so any
+partition gap fails loudly instead of reporting green. Filter pushdown
+through the oracle's GROUP BY on the shard column is what bounds the
+fold memory to ~1/n.
 
 Usage: python tools/shard_check.py SF_DIR NAME SHARD_COL N_SHARDS
+         [--only k1,k2,...]
+
+--only runs a subset of the n shards (for re-running oracle-OOM'd shards
+at a finer grain, e.g. N_SHARDS=64 --only 10,26,42,58); the coverage-sum
+assertion is skipped for subsets since they don't partition the output.
 """
 
 from __future__ import annotations
@@ -46,18 +57,54 @@ def main() -> int:
     # of this tool passed shard 0 and then OOM'd shard 1 on a 307-byte
     # allocation.
     if "--shard" not in sys.argv:
+        import re
         import subprocess
 
         n_shards = int(sys.argv[4])
+        shards = list(range(n_shards))
+        if "--only" in sys.argv:
+            shards = [
+                int(x)
+                for x in sys.argv[sys.argv.index("--only") + 1].split(",")
+            ]
         rc = 0
-        for k in range(n_shards):
+        shard_rows = 0
+        for k in shards:
             r = subprocess.run(
-                [sys.executable, __file__, *sys.argv[1:5], "--shard", str(k)]
+                [sys.executable, __file__, *sys.argv[1:5], "--shard", str(k)],
+                capture_output=True,
+                text=True,
             )
+            sys.stdout.write(r.stdout)
+            sys.stderr.write(r.stderr)
+            sys.stdout.flush()
             rc = rc or r.returncode
+            m = re.search(r"ok .*: (\d+) rows match", r.stdout)
+            if m:
+                shard_rows += int(m.group(1))
+        # (r11, ADVICE) coverage-sum assertion: the n shard outputs must
+        # PARTITION the full result — if the shard predicate silently
+        # drops rows (the negative-key %-sign bug this guards against),
+        # the sum of per-shard engine rowcounts diverges from the full
+        # unfiltered count and we fail loudly instead of reporting green.
+        if "--only" not in sys.argv and rc == 0:
+            registry = load_all()
+            spark = get_spark("shard_check_cov")
+            full_n = registry[sys.argv[2]].fn(spark, sys.argv[1]).count()
+            if full_n != shard_rows:
+                print(
+                    f"FAIL {sys.argv[2]}: shard coverage gap — per-shard "
+                    f"rows sum to {shard_rows} but full output has {full_n}"
+                )
+                rc = 1
+            else:
+                print(
+                    f"ok   {sys.argv[2]}: coverage sum {shard_rows} == "
+                    f"full count {full_n}"
+                )
         print(
             f"{'FAIL' if rc else 'ok  '} {sys.argv[2]}: sharded full-value "
-            f"run complete across {n_shards} process-isolated shards "
+            f"run complete across {len(shards)} process-isolated shards "
             f"(count the per-shard ok lines)"
         )
         return rc
@@ -81,10 +128,28 @@ def main() -> int:
     total_rows = 0
     failures = 0
     for k in (only_shard,):
-        pred = f"(({col} IS NULL AND {k} = 0) OR {col} % {n_shards} = {k})"
+        # pmod form: sign-safe for negative keys (r11, ADVICE) — Spark
+        # and DuckDB % both keep the dividend's sign, so the bare form
+        # would assign negative keys to NO shard.
+        pred = (
+            f"(({col} IS NULL AND {k} = 0) OR "
+            f"(({col} % {n_shards}) + {n_shards}) % {n_shards} = {k})"
+        )
         t0 = time.time()
         con = duckdb.connect()
-        con.execute("SET memory_limit='32GB'")
+        # same env knobs as selfcheck (r11): a lone shard in its own
+        # process can use more than the 32GB co-residency default, and
+        # the list-fold oracles' peak scales with DuckDB's thread count
+        # (per-thread lambda intermediates, not spillable).
+        import os as _os
+
+        con.execute(
+            f"SET memory_limit='{_os.environ.get('SELFCHECK_DUCK_MEM', '32GB')}'"
+        )
+        if _os.environ.get("SELFCHECK_DUCK_THREADS"):
+            con.execute(
+                f"SET threads={int(_os.environ['SELFCHECK_DUCK_THREADS'])}"
+            )
         import tempfile
 
         con.execute(
