@@ -680,19 +680,11 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-           / (SQRT(list_aggregate(list_transform(a.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-              * SQRT(list_aggregate(list_transform(b.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_sim
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cos_sim
     FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-          / (SQRT(list_aggregate(list_transform(a.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-             * SQRT(list_aggregate(list_transform(b.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= 0.2
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.2
     """,
     tags=("dedup", "embedding", "lsh"),
 )
@@ -702,7 +694,15 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the bucket key — the whole-corpus version of
     ``dedup_embed``, whose bounded block stands in for exactly this
     candidate set. Hash-partitioned join, no cross product; recall vs
-    threshold trades off with bucket width as usual for LSH."""
+    threshold trades off with bucket width as usual for LSH.
+
+    Oracle note (r11): the cosine is DuckDB's native
+    list_cosine_similarity over DOUBLE[] casts — proven bit-identical to
+    the explicit list_zip/list_transform double-lambda form on 200k real
+    pairs before the swap (zero IS DISTINCT FROM mismatches) and
+    re-proven by every selfcheck run since; the native form is what
+    makes the sf10 oracle (hundreds of millions of candidate cosines)
+    tractable where the lambda form ran >2h before the r10 cutoff."""
     from data_bridge_spark.functions.vectors import cosine_similarity
     from data_bridge_spark.operators.similarity import _bucket_expr
 
@@ -820,7 +820,10 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     # per-doc tokens re-sorted rarest-first: (freq, tok) struct sort gives
-    # the same canonical global order in any engine / partitioning
+    # the same canonical global order in any engine / partitioning.
+    # localCheckpoint: consumed THREE times below (prefix, wa, wb) — same
+    # policy as the LSH band table, one tokenize+explode+join+groupBy scan
+    # instead of three (at cluster scale: a persisted table).
     ordered = (
         toks.select("doc_id", F.explode("ws").alias("tok"))
         .join(freq, "tok")
@@ -830,11 +833,21 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("freq", "tok"))), lambda s: s["tok"]
             ).alias("ws"),
         )
+        .localCheckpoint()
     )
     plen = (F.size("ws") - F.ceil(F.lit(_PP_T) * F.size("ws")) + 1).cast("int")
+    # explicit REPARTITION_BY_NUM on the join key: the prefix table is
+    # small (docs x prefix tokens), so AQE coalesces the post-shuffle
+    # side to ONE partition — but the join OUTPUT is the candidate pair
+    # set, orders of magnitude larger than its input on a near-dup-dense
+    # corpus (sf0.1: 220 s wall with the whole enumerate+verify pipeline
+    # in a single task; 27 s after this pin). AQE sizes partitions by
+    # INPUT bytes and cannot see the blow-up, so the parallelism must be
+    # stated. A numbered repartition is exempt from AQE coalescing.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     prefix = ordered.select(
         "doc_id", F.explode(F.slice("ws", 1, plen)).alias("tok")
-    )
+    ).repartition(n_part, "tok")
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")

@@ -40,22 +40,54 @@ def link_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     share a blocking key (p_brand), and only in-block pairs pay the
     Levenshtein comparison.  The equi-join on the block key is a plain
     shuffle hash join — never an all-pairs cross product; pair count is
-    sum(block²) and the blocking key is chosen so blocks stay bounded
-    (add a secondary split hash above a cap, exactly as
-    dedup.lsh_candidate_pairs does for hot LSH buckets).  Levenshtein is
-    integer DP — bit-identical across engines."""
+    sum(block²).
+
+    Scale shape (r11): TPC-H p_brand has a FIXED 25-value domain, so
+    blocks grow linearly with the catalog and sum(block²) grows
+    quadratically — at sf10 that is 8e10 in-block pairs funneled through
+    just 25 join keys (25 tasks, each enumerating 3.2e9 pairs: the r10
+    engine-only lane sat >1.5h in that stage).  Two fixes, both
+    result-invariant (same oracle):
+
+    - **Salted sub-blocks**: the left side takes a deterministic salt in
+      0..S-1 from its own key; the right side replicates to all S salts;
+      the join key becomes (p_brand, salt).  Every pair still meets
+      exactly once (at the left row's salt), but enumeration fans out
+      over 25*S keys instead of 25 — the replicated side costs S copies
+      of the (small) dim projection, the win is S-way parallelism inside
+      every block.  This is the documented hot-block answer from
+      dedup.lsh_candidate_pairs, applied to pair ENUMERATION rather than
+      pair capping (here the pairs ARE the answer, so nothing may drop).
+    - **Banded verify**: Levenshtein <= 4 implies abs(len(a)-len(b)) <= 4,
+      checked first (cheap codegen short-circuit), then the THRESHOLDED
+      levenshtein(a, b, 4) — O(k*min(m,n)) early-exit DP instead of
+      O(m*n), returning the true distance for survivors (== the full
+      distance whenever it is <= the threshold, so the output column is
+      unchanged).
+
+    Levenshtein is integer DP — bit-identical across engines."""
     t = Tables(spark, sf_dir)
+    n_salt = 32
     a = t.part.select(
-        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "p_brand"
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+        F.pmod(F.hash("p_partkey"), F.lit(n_salt)).alias("salt"),
     )
     b = t.part.select(
-        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "p_brand"
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
     )
-    dist = F.levenshtein("name_a", "name_b")
+    dist = F.levenshtein("name_a", "name_b", 4)
     return (
-        a.join(b, "p_brand")
+        a.join(b, ["p_brand", "salt"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .filter(dist <= 4)
+        .filter(
+            (F.abs(F.length("name_a") - F.length("name_b")) <= 4)
+            & (dist >= 0)
+        )
         .select("key_a", "key_b", "p_brand", dist.cast("long").alias("edit_dist"))
     )
 

@@ -93,6 +93,17 @@ ORDER_ONLY_ALLOW: dict[str, str] = {
     "profile_skew": "share-of-total window over the top-k survivor set (bounded by the constant k)",
 }
 
+# the BOUND each allowlist entry relies on, pinned as a plan substring
+# (r11, verdict item): an edit that keeps the window but drops the
+# limit head would otherwise keep passing on the allowlist's say-so.
+# TakeOrderedAndProject(limit=K, ...) is the physical node the bounded
+# head plans to; the constant K is part of the pin.
+ORDER_ONLY_BOUND: dict[str, str] = {
+    "curriculum_order": "TakeOrderedAndProject(limit=100",
+    "shuffle_deterministic": "TakeOrderedAndProject(limit=100",
+    "profile_skew": "TakeOrderedAndProject(limit=20",
+}
+
 _WINSPEC = re.compile(r"windowspecdefinition\(([^,]+),")
 
 
@@ -110,6 +121,13 @@ def test_no_unbounded_order_only_window(spark, sf_dir, name):
         assert order_only, (
             f"{name} allowlisted ({ORDER_ONLY_ALLOW[name]}) but has no "
             f"order-only window — drop it from ORDER_ONLY_ALLOW"
+        )
+        bound = ORDER_ONLY_BOUND[name]
+        assert bound in plan, (
+            f"{name} is allowlisted because its window input is bounded "
+            f"by a limit head, but the plan no longer contains "
+            f"'{bound}' — the bound was edited away; re-bound the window "
+            f"input or remove the allowlist entry"
         )
     else:
         assert not order_only, (

@@ -12,9 +12,22 @@ measured operator (documents.text gets a per-shard word suffix so the
 dedup/minhash family sees 10 independent sub-corpora with the same
 intra-shard near-dup structure, not a 90%-exact-dup corpus; n_chars is
 recomputed to keep its LENGTH(text) invariant).  region/nation stay
-fixed (TPC-H dims that do not scale with SF); embeddings replicate with
-shifted vec_ids (the ANN query set is vec_id < 150, i.e. shard 0, and
-the search corpus grows 10x, which is the scaling being measured).
+fixed (TPC-H dims that do not scale with SF).
+
+Embeddings (r11): each shard's vectors go through a per-shard SIGNED
+PERMUTATION of the 64 dimensions — an orthogonal transform, so every
+intra-shard pairwise cosine (and norm) is preserved exactly up to float
+summation order, while cross-shard vectors are decorrelated instead of
+byte-identical.  The r10 fixture replicated embeddings verbatim, which
+made dedup_embed_lsh's sf10 output a shard-squared exact-replica
+artifact (~47.7M pairs); with the transform, cross-shard same-bucket
+pairs have generic-direction cosines and the corpus scales the way a
+real one grows (new content, same intra-corpus near-dup structure).
+The permutation/sign choices come from a fixed LCG seeded by the shard
+index — deterministic, rerun-identical, no RNG state.  Shard 0 stays
+the identity (byte-identical sf0.1).  The ANN query set is vec_id <
+150, i.e. shard 0, and the search corpus grows 10x, which is the
+scaling being measured.
 
 Pure DuckDB relational transforms of the read-only source — seed-free,
 rerun-identical. Output: /root/repo/.scale/sf1/*.parquet (gitignored).
@@ -46,6 +59,42 @@ E_OFF = 1_000_000  # event_id max 99_999
 U_OFF = 10_000  # user_id max 1_499
 D_OFF = 100_000  # doc_id
 V_OFF = 100_000  # vec_id
+
+
+_EMBED_DIM = 64
+
+
+def _signed_perm(i: int) -> tuple[list[int], list[int]]:
+    """Deterministic signed permutation for shard i: Fisher-Yates driven
+    by a fixed LCG (Numerical Recipes constants), seed = shard index.
+    Shard 0 is the identity so sf0.1 remains byte-identical there."""
+    if i == 0:
+        return list(range(1, _EMBED_DIM + 1)), [1] * _EMBED_DIM
+    state = (i * 2654435761) & 0xFFFFFFFF
+
+    def nxt() -> int:
+        nonlocal state
+        state = (1664525 * state + 1013904223) & 0xFFFFFFFF
+        return state
+
+    perm = list(range(1, _EMBED_DIM + 1))
+    for j in range(_EMBED_DIM - 1, 0, -1):
+        k = nxt() % (j + 1)
+        perm[j], perm[k] = perm[k], perm[j]
+    signs = [1 if nxt() & 1 else -1 for _ in range(_EMBED_DIM)]
+    return perm, signs
+
+
+def _embed_expr(i: int) -> str:
+    """SQL list literal applying shard i's signed permutation — element
+    negation is exact in float, so the transform is orthogonal in
+    exact arithmetic and lossless on the stored float32 values."""
+    perm, signs = _signed_perm(i)
+    parts = [
+        f"-embedding[{p}]" if s < 0 else f"embedding[{p}]"
+        for p, s in zip(perm, signs)
+    ]
+    return f"CAST([{', '.join(parts)}] AS FLOAT[])"
 
 
 def shard_sql(i: int) -> dict[str, str]:
@@ -88,12 +137,21 @@ def shard_sql(i: int) -> dict[str, str]:
                    CAST(LENGTH({suffix}) AS BIGINT) AS n_chars
             FROM src""",
         "embeddings": f"""
-            SELECT vec_id + {i * V_OFF} AS vec_id, embedding, label
+            SELECT vec_id + {i * V_OFF} AS vec_id,
+                   {_embed_expr(i)} AS embedding, label
             FROM src""",
     }
 
 
 def main() -> None:
+    # --tables t1,t2: regenerate only the named tables into DST (for
+    # refreshing one table of an existing corpus, e.g. the r11
+    # embeddings perturbation into the already-built sf10)
+    only_tables: set[str] | None = None
+    if "--tables" in sys.argv:
+        j = sys.argv.index("--tables")
+        only_tables = set(sys.argv[j + 1].split(","))
+        del sys.argv[j : j + 2]
     n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     global DST
     if len(sys.argv) > 2:
@@ -102,6 +160,8 @@ def main() -> None:
     con = duckdb.connect()
     # fixed dims: copy through unchanged
     for t in ("region", "nation"):
+        if only_tables is not None and t not in only_tables:
+            continue
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
             f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
@@ -109,6 +169,8 @@ def main() -> None:
         print(t, "copied")
     scaled = shard_sql(0).keys()
     for t in scaled:
+        if only_tables is not None and t not in only_tables:
+            continue
         con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
         union = "\nUNION ALL\n".join(shard_sql(i)[t] for i in range(n_shards))
         con.execute(f"COPY ({union}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")

@@ -24,11 +24,34 @@ through the oracle's GROUP BY on the shard column is what bounds the
 fold memory to ~1/n.
 
 Usage: python tools/shard_check.py SF_DIR NAME SHARD_COL N_SHARDS
-         [--only k1,k2,...]
+         [--only k1,k2,...] [--push-table TABLE]
 
 --only runs a subset of the n shards (for re-running oracle-OOM'd shards
 at a finer grain, e.g. N_SHARDS=64 --only 10,26,42,58); the coverage-sum
 assertion is skipped for subsets since they don't partition the output.
+
+--push-expr EXPR (with --push-table) shards the base view on EXPR — a
+SQL expression over the base table's columns — instead of the output
+shard column's name. Needed when the shard column is DERIVED inside the
+oracle (pack_sequences' pack_group is an md5 hash of doc_id, computable
+on the documents view but not present there as a column). The Spark
+side still filters the OUTPUT column, so the asserted equivalence
+"EXPR on base rows == shard column on output rows" is itself verified
+by the digests.
+
+--push-table TABLE pushes the shard predicate into TABLE's view on the
+ORACLE side instead of wrapping the oracle's output (r11). Needed when
+the oracle contains a pushdown barrier — ts_anomaly_resid's
+unnest(generate_series(...)) lateral blocks DuckDB's filter pushdown
+entirely, so the output-wrapping form folds the FULL keyspace for every
+shard (EXPLAIN shows the filter above the final join, both parquet
+scans unfiltered) and the fold arena OOMs shard-independently at sf10.
+Pushing into the view is valid iff the query is per-key decomposable on
+the shard column (each output row derives only from base rows with the
+same key) — which is this tool's premise — and the assumption is
+SELF-VERIFYING: the Spark side still filters the full OUTPUT, so if
+decomposability did not hold, the per-shard digests would diverge and
+the shard FAILs loudly rather than passing on a wrong subset.
 """
 
 from __future__ import annotations
@@ -69,9 +92,26 @@ def main() -> int:
             ]
         rc = 0
         shard_rows = 0
+        push = (
+            ["--push-table", sys.argv[sys.argv.index("--push-table") + 1]]
+            if "--push-table" in sys.argv
+            else []
+        )
+        if "--push-expr" in sys.argv:
+            push += [
+                "--push-expr",
+                sys.argv[sys.argv.index("--push-expr") + 1],
+            ]
         for k in shards:
             r = subprocess.run(
-                [sys.executable, __file__, *sys.argv[1:5], "--shard", str(k)],
+                [
+                    sys.executable,
+                    __file__,
+                    *sys.argv[1:5],
+                    *push,
+                    "--shard",
+                    str(k),
+                ],
                 capture_output=True,
                 text=True,
             )
@@ -116,6 +156,16 @@ def main() -> int:
         int(sys.argv[4]),
     )
     only_shard = int(sys.argv[sys.argv.index("--shard") + 1])
+    push_table = (
+        sys.argv[sys.argv.index("--push-table") + 1]
+        if "--push-table" in sys.argv
+        else None
+    )
+    push_expr = (
+        sys.argv[sys.argv.index("--push-expr") + 1]
+        if "--push-expr" in sys.argv
+        else None
+    )
     registry = load_all()
     q = registry[name]
     assert q.oracle is not None, f"{name} has no oracle"
@@ -155,11 +205,23 @@ def main() -> int:
         con.execute(
             f"SET temp_directory='{tempfile.mkdtemp(prefix='dbs_shard_spill_')}'"
         )
+        if push_expr is not None:
+            e = f"({push_expr})"
+            push_pred = (
+                f"(({e} IS NULL AND {k} = 0) OR "
+                f"(({e} % {n_shards}) + {n_shards}) % {n_shards} = {k})"
+            )
+        else:
+            push_pred = pred
         for t in TABLE_NAMES:
+            where = f" WHERE {push_pred}" if t == push_table else ""
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'{where}"
             )
         try:
+            # with --push-table the base view is already shard-filtered;
+            # keeping the outer WHERE too is harmless (idempotent) and
+            # preserves the output-filter form when no push is requested
             res = con.execute(
                 f"SELECT * FROM ({q.oracle}) __shard_t WHERE {pred}"
             )
