@@ -151,9 +151,13 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in a DuckDB recursive CTE that carries each group's bin free-list
     # as LIST state, one rank per iteration. Same unrolling doctrine as
     # sim_ivf's k-means oracle: pin the order, the state transition is
-    # pure, and "stateful" stops meaning "unverifiable".
+    # pure, and "stateful" stops meaning "unverifiable". docs is
+    # MATERIALIZED (r11): without the hint DuckDB re-evaluates the CTE —
+    # md5 + string_split over every document — on EVERY recursion level
+    # (one sf10 group: >25 min unfinished vs 115 s materialized; the
+    # hint is evaluation-only, the value is identical by definition).
     oracle="""
-    WITH RECURSIVE docs AS (
+    WITH RECURSIVE docs AS MATERIALIZED (
         SELECT doc_id,
                LEAST(COALESCE(len(string_split(text, ' ')), 0), 512) AS n,
                CAST(('0x' || substr(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS g,

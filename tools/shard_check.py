@@ -82,6 +82,7 @@ def main() -> int:
     if "--shard" not in sys.argv:
         import re
         import subprocess
+        from concurrent.futures import ThreadPoolExecutor
 
         n_shards = int(sys.argv[4])
         shards = list(range(n_shards))
@@ -90,6 +91,18 @@ def main() -> int:
                 int(x)
                 for x in sys.argv[sys.argv.index("--only") + 1].split(",")
             ]
+        # --parallel N: run N shard subprocesses concurrently. For
+        # iteration-bound oracles (pack_sequences' recursive CTE), each
+        # shard is a long mostly-serial recursion with a SMALL arena —
+        # the opposite profile of the fold-OOM oracles — so wall time
+        # divides by N while memory stays bounded. Keep 1 (default)
+        # for fold-heavy oracles where concurrent arenas would race the
+        # memory bound.
+        n_par = (
+            int(sys.argv[sys.argv.index("--parallel") + 1])
+            if "--parallel" in sys.argv
+            else 1
+        )
         rc = 0
         shard_rows = 0
         push = (
@@ -102,8 +115,9 @@ def main() -> int:
                 "--push-expr",
                 sys.argv[sys.argv.index("--push-expr") + 1],
             ]
-        for k in shards:
-            r = subprocess.run(
+
+        def run_shard(k: int) -> subprocess.CompletedProcess:
+            return subprocess.run(
                 [
                     sys.executable,
                     __file__,
@@ -115,6 +129,10 @@ def main() -> int:
                 capture_output=True,
                 text=True,
             )
+
+        with ThreadPoolExecutor(max_workers=n_par) as pool:
+            results = list(pool.map(run_shard, shards))
+        for r in results:
             sys.stdout.write(r.stdout)
             sys.stderr.write(r.stderr)
             sys.stdout.flush()
