@@ -24,6 +24,14 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark", "stop_spark", "lineage_cut"]
 
 
+def _scratch_dir() -> str:
+    """Spark scratch under the repo's gitignored .scale/ — a path with
+    the same lifetime as the process owner, not /tmp's cleaner."""
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sparktmp")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def get_spark(
     app_name: str = "data_bridge_spark",
     master: str | None = None,
@@ -55,6 +63,16 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # shuffle/blockmgr scratch OFF /tmp (r11): a multi-hour sf10 run
+        # died mid-stage with "No such file or directory" on its own
+        # blockmgr temp files — /tmp is subject to age-based cleaning
+        # this process doesn't control, and an hour-old shuffle file is
+        # exactly what a long scan needs back. Same class of choice as a
+        # cluster's dedicated scratch volumes. Override via SPARK_LOCAL_DIRS.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", _scratch_dir()),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

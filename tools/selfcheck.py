@@ -320,7 +320,13 @@ def main() -> int:
             c.execute(f"SET threads={int(_os.environ['SELFCHECK_DUCK_THREADS'])}")
         import tempfile as _tf
 
-        c.execute(f"SET temp_directory='{_tf.mkdtemp(prefix='dbs_duck_spill_')}'")
+        # spill off /tmp (r11, same reason as session.py's spark.local.dir:
+        # /tmp's age-based cleaner vs multi-hour oracle runs)
+        _sp = _os.path.join("/root/repo/.scale", "ducktmp")
+        _os.makedirs(_sp, exist_ok=True)
+        c.execute(
+            f"SET temp_directory='{_tf.mkdtemp(prefix='dbs_duck_spill_', dir=_sp)}'"
+        )
         for t in TABLE_NAMES:
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c

@@ -220,8 +220,10 @@ def main() -> int:
             )
         import tempfile
 
+        _sp = _os.path.join("/root/repo/.scale", "ducktmp")
+        _os.makedirs(_sp, exist_ok=True)
         con.execute(
-            f"SET temp_directory='{tempfile.mkdtemp(prefix='dbs_shard_spill_')}'"
+            f"SET temp_directory='{tempfile.mkdtemp(prefix='dbs_shard_spill_', dir=_sp)}'"
         )
         if push_expr is not None:
             e = f"({push_expr})"
