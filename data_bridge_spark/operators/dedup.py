@@ -806,10 +806,42 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ t·|B|, so a miss would leave too few suffix slots for the overlap).
     Rare-first ordering makes prefix join keys maximally selective: the
     blocking degenerates exactly where LSH's hot buckets do NOT (frequent
-    tokens are pushed out of prefixes).  Shape: token-frequency count,
-    per-doc re-sort, prefix explode + equi-join on token, distinct pair
-    set, then an O(candidates) exact-Jaccard verify — every join an
-    equi-join.  The all-pairs oracle proves the filter lossless."""
+    tokens are pushed out of prefixes).
+
+    Scale shape (r11): a boilerplate-dense corpus breaks the naive
+    distributed translation twice. The prefix equi-join enumerates a
+    pair once PER shared prefix token — at sf0.1 that is 88.8M
+    enumerations for 12.4M distinct candidates and 7.1M true pairs (the
+    hottest prefix token is in 3,838 of 5,000 docs) — and at sf10 an
+    array-carrying version of that join spilled past 78 GB of disk.
+    Three result-invariant measures (same oracle, all-pairs losslessness
+    pytest unchanged):
+
+    - **Slim enumeration**: the prefix join carries only (doc_id, n,
+      pos, tok) — the token arrays do NOT ride the blown-up pair stream;
+      the distinct() exchange dedups bare int pairs.
+    - **Positional filter** (PPJoin's position bound, Xiao et al.): a
+      first-shared token at 1-based positions (pa, pb) caps the overlap
+      at 1 + min(na-pa, nb-pb), so enumerations with
+      1 + min(na-pa, nb-pb) < ceil(t/(1+t)*(na+nb)) can never reach
+      Jaccard t and are dropped INSIDE the join by integer arithmetic —
+      55.7% of all enumerations at sf0.1, measured. (Safe even though
+      the bound assumes first-shared: a pair's NON-first enumerations it
+      might wrongly keep are removed by distinct anyway, and if ALL of a
+      pair's enumerations are pruned, its first-shared one was — which
+      proves the pair cannot qualify.)
+    - **Dictionary-verify**: the exact-Jaccard verify joins the distinct
+      candidates against the per-doc token-array dictionary, hinted
+      broadcast (|docs| x avg 23 tokens — megabytes per million docs);
+      candidates stream map-side and the arrays never shuffle. On a
+      corpus whose dictionary outgrows broadcast, drop the hint and the
+      same plan runs as a shuffle join with array payload proportional
+      to CANDIDATES (12.4M per 5k-doc shard-equivalent here), never to
+      enumerations.
+
+    The explicit numbered repartition on the join key remains: AQE
+    coalesces the small prefix-join INPUT to one partition while the
+    join OUTPUT explodes (sf0.1: 220 s single-task before the pin)."""
     t = Tables(spark, sf_dir)
     toks = t.documents.select(
         "doc_id", F.array_distinct(F.split(_norm(F.col("text")), " ")).alias("ws")
@@ -821,37 +853,42 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-doc tokens re-sorted rarest-first: (freq, tok) struct sort gives
     # the same canonical global order in any engine / partitioning.
-    # localCheckpoint: consumed THREE times below (prefix, wa, wb) — same
-    # policy as the LSH band table, one tokenize+explode+join+groupBy scan
-    # instead of three (at cluster scale: a persisted table).
+    # localCheckpoint: consumed by the prefix explode AND both verify
+    # dictionary sides — one tokenize+explode+join+groupBy scan, not three.
     ordered = (
         toks.select("doc_id", F.explode("ws").alias("tok"))
         .join(freq, "tok")
         .groupBy("doc_id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("freq", "tok"))), lambda s: s["tok"]
+                F.array_sort(F.collect_list(F.struct("freq", "tok"))),
+                lambda s: s["tok"],
             ).alias("ws"),
         )
         .localCheckpoint()
     )
     plen = (F.size("ws") - F.ceil(F.lit(_PP_T) * F.size("ws")) + 1).cast("int")
-    # explicit REPARTITION_BY_NUM on the join key: the prefix table is
-    # small (docs x prefix tokens), so AQE coalesces the post-shuffle
-    # side to ONE partition — but the join OUTPUT is the candidate pair
-    # set, orders of magnitude larger than its input on a near-dup-dense
-    # corpus (sf0.1: 220 s wall with the whole enumerate+verify pipeline
-    # in a single task; 27 s after this pin). AQE sizes partitions by
-    # INPUT bytes and cannot see the blow-up, so the parallelism must be
-    # stated. A numbered repartition is exempt from AQE coalescing.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     prefix = ordered.select(
-        "doc_id", F.explode(F.slice("ws", 1, plen)).alias("tok")
+        "doc_id",
+        F.size("ws").alias("n"),
+        F.posexplode(F.slice("ws", 1, plen)).alias("pos", "tok"),
     ).repartition(n_part, "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # posexplode is 0-based; the positional bound uses 1-based positions,
+    # so (n - pos_0based) == (n - pos_1based + 1) and the bound reads
+    # 1 + min(na - pa0 - 1, nb - pb0 - 1) >= ceil(t/(1+t) * (na + nb))
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1
+    )
+    alpha = F.ceil(F.lit(_PP_T / (1.0 + _PP_T)) * (F.col("a.n") + F.col("b.n")))
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "tok")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ubound >= alpha),
+        )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
@@ -861,8 +898,8 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size("ws_a") + F.size("ws_b") - i
     jac = i.cast("double") / union.cast("double")
     return (
-        cand.join(wa, "id_a")
-        .join(wb, "id_b")
+        cand.join(F.broadcast(wa), "id_a")
+        .join(F.broadcast(wb), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _PP_T)
     )
