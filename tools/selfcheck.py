@@ -479,8 +479,35 @@ def main() -> int:
         try:
             sdig = RowDigest(scols)
             if odig.n > _HASH_PROMOTE:
-                for r in sdf.toLocalIterator(prefetchPartitions=True):
-                    sdig.add_row(tuple(r))
+                # (r11) materialize-then-stream: toLocalIterator runs ONE
+                # job per partition, so the driver pulls the plan's heavy
+                # compute sequentially (~2 cores busy — dedup_embed_lsh's
+                # 312M-cosine bucket join projected ~3h at sf10 this way).
+                # Writing the result to scratch parquet first executes the
+                # plan once with full cluster parallelism; the re-read
+                # stream then only pays parquet decode. Parquet round-trips
+                # every type the registry emits exactly (it is the source
+                # format); NullType literals can't be written, so fall back
+                # to direct streaming if the write is rejected.
+                src = sdf
+                mat_dir = None
+                try:
+                    import shutil as _sh
+                    import tempfile as _tf
+
+                    _mp = _os.path.join("/root/repo/.scale", "ducktmp")
+                    _os.makedirs(_mp, exist_ok=True)
+                    mat_dir = _tf.mkdtemp(prefix="dbs_selfcheck_mat_", dir=_mp)
+                    sdf.write.mode("overwrite").parquet(mat_dir)
+                    src = spark.read.schema(sdf.schema).parquet(mat_dir)
+                except Exception:
+                    src = sdf  # stream the plan directly (slow path)
+                try:
+                    for r in src.toLocalIterator(prefetchPartitions=True):
+                        sdig.add_row(tuple(r))
+                finally:
+                    if mat_dir is not None:
+                        _sh.rmtree(mat_dir, ignore_errors=True)
             else:
                 # collect() is capped one past the promote threshold: a
                 # Spark-side row explosion (the exact mega-pair class the

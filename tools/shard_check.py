@@ -276,11 +276,32 @@ def main() -> int:
             sdig = RowDigest(scols)
             from pyspark.sql import functions as F
 
-            for r in (
-                sdf_full.filter(F.expr(pred))
-                .toLocalIterator(prefetchPartitions=True)
-            ):
-                sdig.add_row(tuple(r))
+            sfilt = sdf_full.filter(F.expr(pred))
+            # (r11) materialize-then-stream, same rationale as selfcheck:
+            # toLocalIterator runs one job per partition, serializing the
+            # shard's compute to ~2 cores; a scratch-parquet write runs
+            # the plan once fully parallel and the stream pays only
+            # parquet decode. Fall back to direct streaming on write
+            # rejection (NullType literals).
+            mat_dir = None
+            if odig.n > 100_000:  # small shards: write+read isn't worth it
+                try:
+                    import shutil as _sh
+                    import tempfile as _tf2
+
+                    _mp = _os.path.join("/root/repo/.scale", "ducktmp")
+                    _os.makedirs(_mp, exist_ok=True)
+                    mat_dir = _tf2.mkdtemp(prefix="dbs_shard_mat_", dir=_mp)
+                    sfilt.write.mode("overwrite").parquet(mat_dir)
+                    sfilt = spark.read.schema(sdf_full.schema).parquet(mat_dir)
+                except Exception:
+                    sfilt = sdf_full.filter(F.expr(pred))
+            try:
+                for r in sfilt.toLocalIterator(prefetchPartitions=True):
+                    sdig.add_row(tuple(r))
+            finally:
+                if mat_dir is not None:
+                    _sh.rmtree(mat_dir, ignore_errors=True)
         except Exception:
             print(f"FAIL {name} shard {k}: spark error\n{traceback.format_exc()}")
             failures += 1
