@@ -126,23 +126,33 @@ def normalized_flags(
     prev_q: dict[str, float],
     probe_ratio: float | None,
 ) -> tuple[float, float | None, dict[str, float], list[str]]:
-    """Placement-normalized regression flags (r10, bounded r11).
+    """Placement-normalized regression flags (r10; rebased on the
+    median in r11).
 
-    The md5 probe ratio alone overstates the placement penalty for
-    parallel JVM work (r10: a host whose single-thread probe read 2.04x
-    slower ran the bench 7.5% FASTER), so scaling expectations by the
-    raw probe means the gate can never convict on a slow-probe host.
-    Bound it with the MEDIAN observed per-query ratio — a robust
-    placement estimate that one genuinely regressed query cannot move
-    (unlike the total ratio, which the regression itself inflates):
-    applied = min(probe_ratio, median_observed). A real regression
-    stands out against the median-derived expectation under any probe
-    reading; a uniformly slow host still gets its allowance from
-    whichever estimate is SMALLER, keeping the gate able to convict.
+    The expectation each query is judged against is the MEDIAN observed
+    per-query ratio — a placement estimate that one genuinely regressed
+    query cannot move (unlike the total ratio, which the regression
+    itself inflates), so per-query plan regressions stand out as
+    OUTLIERS under any host placement.
+
+    The single-thread md5 probe is recorded as a diagnostic but no
+    longer participates in the applied ratio: two consecutive rounds
+    proved it uncorrelated with 32-thread JVM throughput in BOTH
+    directions (r10: probe 2.04x slower, wall 7.5% FASTER; r11: probe
+    1.9x faster, wall 12% slower). The r10->r11 interim rule
+    applied = min(probe, median) mass-flagged 30+ diffless queries the
+    moment a fast-probe host ran normally — an over-convicting gate is
+    as useless as one that can only acquit. Known limitation, accepted:
+    a perfectly UNIFORM regression (every query slower by the same
+    factor, e.g. a session-config mistake) is absorbed into the median
+    and cannot be convicted by this statistic alone; the standing
+    defenses there are the per-file diff discipline (risers in diffless
+    files are placement, by construction) and the cross-round raw
+    totals, both of which the verdicts audit every round.
 
     Returns (applied_ratio, median_observed, delta_normalized, flagged).
     Pure function of its inputs so tests can inject regressions under
-    synthetic 1x and 2x hosts (tests/test_bench_flags.py).
+    synthetic fast/slow hosts and junk probes (tests/test_bench_flags.py).
     """
     common = [n for n in timings if n in prev_q]
     # sub-100ms priors jitter past any ratio; exclude from the estimate
@@ -150,10 +160,7 @@ def normalized_flags(
         timings[n] / prev_q[n] for n in common if prev_q[n] > 0.1
     )
     median_obs = ratios[len(ratios) // 2] if ratios else None
-    if probe_ratio and median_obs is not None:
-        applied = min(probe_ratio, median_obs)
-    else:
-        applied = probe_ratio or median_obs or 1.0
+    applied = median_obs if median_obs is not None else (probe_ratio or 1.0)
     norm = {n: round(timings[n] - prev_q[n] * applied, 3) for n in common}
     # chase-list: >1.5x the placement-expected time AND >0.3s absolute
     # (sub-second queries jitter past any ratio band)

@@ -1,14 +1,19 @@
-"""The placement-normalized bench gate must be able to CONVICT (r11).
+"""The placement-normalized bench gate must CONVICT without
+over-convicting (r11).
 
 r10's gate scaled expectations by the raw single-thread probe ratio, so
 a host whose probe read 2x slower gave every query a 2x allowance — an
 injected regression could never be flagged there (the r10 verdict's
-bench item). The bounded gate (bench.normalized_flags) clamps the
-applied ratio to the median observed per-query ratio, which one
-regressed query cannot move. These tests inject a 3x regression into a
-synthetic 12-query round and require it flagged under a 1x probe, a 2x
-probe (probe overstating — the r10 failure mode), and a genuinely
-2x-slow host — and require clean runs to stay unflagged in all three.
+bench item). The first r11 fix, min(probe, median), restored conviction
+but over-convicted the moment a FAST-probe host ran normally (live in
+r11: probe ratio 0.53, wall 1.12x → 30+ diffless queries flagged). The
+gate now judges every query against the median observed per-query
+ratio alone — a placement estimate one regressed query cannot move —
+and records the probe as a diagnostic. These tests inject a 3x
+regression into a synthetic 12-query round and require it flagged under
+a 1x probe, a 2x probe (probe overstating — the r10 failure mode), a
+genuinely 2x-slow host, and a junk-fast probe (the r11 failure mode) —
+and require clean runs to stay unflagged in all four.
 """
 
 from __future__ import annotations
@@ -60,6 +65,22 @@ def test_clean_runs_unflagged():
             _now(host), PREV, probe
         )
         assert flagged == [], (host, probe, flagged)
+
+
+def test_clean_run_fast_probe_host_not_mass_flagged():
+    # the r11 live failure: the probe read 1.9x FASTER (ratio 0.53)
+    # while wall ran 12% slower — min(probe, median) gave every query a
+    # 0.53x expectation and flagged 30+ queries in diffless files
+    applied, med, norm, flagged = normalized_flags(_now(1.12), PREV, 0.53)
+    assert flagged == [], flagged
+    assert abs(applied - 1.12) < 0.05
+
+
+def test_regression_flagged_under_junk_fast_probe():
+    applied, med, norm, flagged = normalized_flags(
+        _now(1.12, "q5"), PREV, 0.53
+    )
+    assert flagged == ["q5"]
 
 
 def test_no_probe_falls_back_to_median():
