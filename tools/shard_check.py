@@ -115,6 +115,11 @@ def main() -> int:
                 "--push-expr",
                 sys.argv[sys.argv.index("--push-expr") + 1],
             ]
+        if "--inject-marker" in sys.argv:
+            push += [
+                "--inject-marker",
+                sys.argv[sys.argv.index("--inject-marker") + 1],
+            ]
 
         def run_shard(k: int) -> subprocess.CompletedProcess:
             return subprocess.run(
@@ -184,6 +189,11 @@ def main() -> int:
         if "--push-expr" in sys.argv
         else None
     )
+    inject_marker = (
+        sys.argv[sys.argv.index("--inject-marker") + 1]
+        if "--inject-marker" in sys.argv
+        else None
+    )
     registry = load_all()
     q = registry[name]
     assert q.oracle is not None, f"{name} has no oracle"
@@ -238,12 +248,40 @@ def main() -> int:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'{where}"
             )
+        # --inject-marker TEXT (r11, with --push-expr EXPR): insert the
+        # shard predicate on EXPR directly AFTER the (unique) marker text
+        # inside the oracle body. Needed when the oracle's heavy work sits
+        # behind MATERIALIZED CTEs — materialization is a pushdown
+        # BARRIER, so the output-wrapping predicate (and --push-table,
+        # which would wrongly filter BOTH sides of a self-join) cannot
+        # bound the per-shard compute; injecting into the candidate
+        # join's ON clause does (dedup_ppjoin: the prefix enumeration's
+        # a-side). Valid iff EXPR-on-candidate-rows == shard column on
+        # output rows — and like every predicate in this tool, the
+        # assumption is SELF-VERIFYING: the Spark side still filters the
+        # true full output, so a wrong injection produces a per-shard
+        # digest mismatch or a coverage-sum gap, never a false green.
+        oracle_sql = q.oracle
+        if inject_marker is not None:
+            assert push_expr is not None, "--inject-marker needs --push-expr"
+            n_hits = oracle_sql.count(inject_marker)
+            assert n_hits == 1, (
+                f"--inject-marker must match exactly once, found {n_hits}"
+            )
+            e = f"({push_expr})"
+            inj = (
+                f"((({e}) IS NULL AND {k} = 0) OR "
+                f"(({e} % {n_shards}) + {n_shards}) % {n_shards} = {k})"
+            )
+            oracle_sql = oracle_sql.replace(
+                inject_marker, f"{inject_marker} AND {inj}"
+            )
         try:
             # with --push-table the base view is already shard-filtered;
             # keeping the outer WHERE too is harmless (idempotent) and
             # preserves the output-filter form when no push is requested
             res = con.execute(
-                f"SELECT * FROM ({q.oracle}) __shard_t WHERE {pred}"
+                f"SELECT * FROM ({oracle_sql}) __shard_t WHERE {pred}"
             )
             ocols = [d[0] for d in res.description]
             odig = RowDigest(ocols)
