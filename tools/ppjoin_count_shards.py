@@ -82,6 +82,11 @@ def main() -> int:
     sf_dir = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     par = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    shards = list(range(n))
+    if "--only" in sys.argv:  # rerun OOM'd shards at a raised bound
+        shards = [
+            int(x) for x in sys.argv[sys.argv.index("--only") + 1].split(",")
+        ]
 
     import re
     import subprocess
@@ -99,7 +104,7 @@ def main() -> int:
     from concurrent.futures import as_completed
 
     with ThreadPoolExecutor(max_workers=par) as pool:
-        futs = {pool.submit(run_shard, k): k for k in range(n)}
+        futs = {pool.submit(run_shard, k): k for k in shards}
         for fut in as_completed(futs):
             r = fut.result()
             sys.stdout.write(r.stdout)
@@ -110,7 +115,7 @@ def main() -> int:
             if m:
                 total += int(m.group(1))
                 ok += 1
-    print(f"oracle shard-count sum over {ok}/{n} green shards: {total}")
+    print(f"oracle shard-count sum over {ok}/{len(shards)} attempted shards: {total}")
     return 0 if ok == n else 1
 
 
