@@ -279,10 +279,23 @@ def main() -> int:
         try:
             # with --push-table the base view is already shard-filtered;
             # keeping the outer WHERE too is harmless (idempotent) and
-            # preserves the output-filter form when no push is requested
-            res = con.execute(
-                f"SELECT * FROM ({oracle_sql}) __shard_t WHERE {pred}"
-            )
+            # preserves the output-filter form when no push is requested.
+            # With --inject-marker the outer wrap is SKIPPED: it is the
+            # same predicate the injection already applied (the shard
+            # column IS the injected expression on the candidate row),
+            # and empirically the wrapped form makes DuckDB pick a plan
+            # whose arena OOMs where the bare injected oracle fits in
+            # 40GB (dedup_ppjoin sf10: COUNT of the bare form passed at
+            # 40GB for every shard but one, while the wrapped SELECT *
+            # failed at 60GB). Dropping the wrap leans fully on the
+            # injection — which the Spark-side compare of the true full
+            # output still verifies row-for-row.
+            if inject_marker is not None:
+                res = con.execute(f"SELECT * FROM ({oracle_sql}) __shard_t")
+            else:
+                res = con.execute(
+                    f"SELECT * FROM ({oracle_sql}) __shard_t WHERE {pred}"
+                )
             ocols = [d[0] for d in res.description]
             odig = RowDigest(ocols)
             while True:
