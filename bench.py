@@ -143,12 +143,15 @@ def normalized_flags(
     applied = min(probe, median) mass-flagged 30+ diffless queries the
     moment a fast-probe host ran normally — an over-convicting gate is
     as useless as one that can only acquit. Known limitation, accepted:
-    a perfectly UNIFORM regression (every query slower by the same
-    factor, e.g. a session-config mistake) is absorbed into the median
-    and cannot be convicted by this statistic alone; the standing
-    defenses there are the per-file diff discipline (risers in diffless
-    files are placement, by construction) and the cross-round raw
-    totals, both of which the verdicts audit every round.
+    ANY regression touching >=50% of the timed queries — not just a
+    perfectly uniform one — moves the median itself and is partially
+    (at >=50%) or fully (uniform) absorbed into the expectation, so
+    this statistic alone cannot convict broad regressions (e.g. a
+    session-config mistake). The machine defense for that case is the
+    complementary raw_total_flag() band below (r12, verdict item 4);
+    the manual defenses remain the per-file diff discipline (risers in
+    diffless files are placement, by construction) and the cross-round
+    raw totals the verdicts audit every round.
 
     Returns (applied_ratio, median_observed, delta_normalized, flagged).
     Pure function of its inputs so tests can inject regressions under
@@ -159,7 +162,14 @@ def normalized_flags(
     ratios = sorted(
         timings[n] / prev_q[n] for n in common if prev_q[n] > 0.1
     )
-    median_obs = ratios[len(ratios) // 2] if ratios else None
+    # true median (r12, ADVICE): the upper-middle element gave the gate
+    # a small systematic leniency on even-length lists
+    if not ratios:
+        median_obs = None
+    elif len(ratios) % 2:
+        median_obs = ratios[len(ratios) // 2]
+    else:
+        median_obs = (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
     applied = median_obs if median_obs is not None else (probe_ratio or 1.0)
     norm = {n: round(timings[n] - prev_q[n] * applied, 3) for n in common}
     # chase-list: >1.5x the placement-expected time AND >0.3s absolute
@@ -170,6 +180,83 @@ def normalized_flags(
         if timings[n] > 1.5 * prev_q[n] * applied and norm[n] > 0.3
     )
     return applied, median_obs, norm, flagged
+
+
+RAW_TOTAL_BAND = 1.35  # placement drift observed across rounds is 1.1-1.7x,
+# but the band judges the PROBE-EXONERATED ratio, not the raw one
+
+
+def raw_total_flag(
+    total_now: float,
+    prev_totals: list[float],
+    probe_ratio: float | None,
+) -> tuple[float | None, bool]:
+    """Complementary uniform-regression gate (r12, verdict item 4).
+
+    normalized_flags() judges each query against the median observed
+    ratio, so a regression touching >=50% of queries moves its own
+    expectation and escapes. This statistic has no such blind spot: it
+    compares the RAW total against the MEDIAN of the last <=3 rounds'
+    totals — a per-round scalar no single round can move — and flags
+    when the ratio exceeds RAW_TOTAL_BAND after probe exoneration.
+
+    The probe can only EXONERATE, never convict (same asymmetry the
+    per-query gate settled on): a genuinely slow host whose probe also
+    reads slow (ratio > 1) has its allowance raised to the probe, so
+    a 2x-slow placement stays clean; a junk-FAST probe (r11: 0.53 on a
+    1.12x host) is ignored rather than used to tighten the band. Known
+    limitation, accepted: a genuinely slow placement whose probe reads
+    fast (the r11 inversion, at >1.35x drift) is falsely flagged — the
+    flag is a CHASE signal for the verdict, adjudicated against the
+    per-file diff evidence (a uniform riser with a zero-diff operator
+    tree is placement; one with a touched session.py/registry is real),
+    not a conviction. Pure function for tests (test_bench_flags.py).
+
+    Returns (ratio_vs_median_prev or None, flagged).
+    """
+    # last 3 ROUNDS chronologically (prev_totals is oldest-first), then
+    # sorted for the median — sorting first would pick the 3 largest
+    prevs = sorted([t for t in prev_totals if t and t > 0][-3:])
+    if not prevs or total_now <= 0:
+        return None, False
+    mid = len(prevs) // 2
+    med_prev = (
+        prevs[mid]
+        if len(prevs) % 2
+        else (prevs[mid - 1] + prevs[mid]) / 2
+    )
+    ratio = total_now / med_prev
+    allowance = max(probe_ratio, 1.0) if probe_ratio else 1.0
+    return round(ratio, 4), (ratio / allowance) > RAW_TOTAL_BAND
+
+
+def _prev_round_totals() -> list[float]:
+    """Totals of the last rounds' official bench records, oldest-first,
+    for the raw-total band (reconstructed files accepted, unparseable
+    rounds skipped — same reading rules as _prev_round_timings)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    totals: list[float] = []
+    for n, path in sorted(rounds):
+        for candidate in (path, path.replace(".json", "_RECONSTRUCTED.json")):
+            try:
+                with open(candidate) as f:
+                    data = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if "value" not in data and isinstance(data.get("parsed"), dict):
+                data = data["parsed"] or {}
+            if isinstance(data.get("value"), (int, float)) and data["value"] > 0:
+                totals.append(float(data["value"]))
+                break
+    return totals
 
 
 def _archive_official_detail() -> None:
@@ -333,6 +420,14 @@ def main() -> None:
         vs_prev["applied_ratio"] = round(applied, 4)
         vs_prev["delta_sec_normalized"] = norm
         vs_prev["flagged_normalized"] = flagged
+        # uniform-regression band (r12): raw total vs median of the last
+        # 3 rounds' totals, probe-exonerated — the statistic the
+        # per-query median gate is structurally blind to
+        rt_ratio, rt_flag = raw_total_flag(
+            total, _prev_round_totals(), probe_ratio
+        )
+        vs_prev["raw_total_vs_last3_median"] = rt_ratio
+        vs_prev["raw_total_flagged"] = rt_flag
         detail["vs_prev"] = vs_prev
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:

@@ -16,12 +16,18 @@ import duckdb
 import pytest
 
 
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+
 def _pred(col: str, n: int, k: int) -> str:
-    # Must match tools/shard_check.py exactly.
-    return (
-        f"(({col} IS NULL AND {k} = 0) OR "
-        f"(({col} % {n}) + {n}) % {n} = {k})"
-    )
+    # THE shared builder itself (r12, ADVICE): every lane — shard_check's
+    # wrap/push/inject paths and count_shards — now calls this one
+    # function, so the tests pin the real predicate, not a copy of it.
+    from shard_check import shard_predicate
+
+    return shard_predicate(col, k, n)
 
 
 KEYS = [-17, -5, -1, 0, 1, 5, 17, None]

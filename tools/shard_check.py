@@ -72,6 +72,34 @@ from data_bridge_spark.registry import load_all  # noqa: E402
 from data_bridge_spark.session import get_spark  # noqa: E402
 
 
+def shard_predicate(expr: str, k: int, n: int) -> str:
+    """The canonical sign-safe total shard predicate on EXPR: NULLs land
+    in shard 0, the double-mod pmod form covers negative keys. Single
+    source of truth for every shard lane (this tool's output wrap, push
+    and inject paths, and tools/count_shards.py — factored in r12 per
+    ADVICE so the full-value and rows-only lanes cannot drift)."""
+    e = f"({expr})"
+    return (
+        f"((({e}) IS NULL AND {k} = 0) OR "
+        f"(({e} % {n}) + {n}) % {n} = {k})"
+    )
+
+
+def build_injected_oracle(
+    oracle_sql: str, marker: str, expr: str, k: int, n: int
+) -> str:
+    """Insert the shard predicate on EXPR directly after MARKER (which
+    must occur exactly once — asserted, so an oracle rewrite that drops
+    or duplicates the ON clause fails loudly in every lane at once)."""
+    n_hits = oracle_sql.count(marker)
+    assert n_hits == 1, (
+        f"--inject-marker must match exactly once, found {n_hits}"
+    )
+    return oracle_sql.replace(
+        marker, f"{marker} AND {shard_predicate(expr, k, n)}"
+    )
+
+
 def main() -> int:
     # Parent mode (no --shard): one subprocess per shard. A heavy oracle
     # can leave the in-process DuckDB arena unreleasable even after it
@@ -209,10 +237,7 @@ def main() -> int:
         # pmod form: sign-safe for negative keys (r11, ADVICE) — Spark
         # and DuckDB % both keep the dividend's sign, so the bare form
         # would assign negative keys to NO shard.
-        pred = (
-            f"(({col} IS NULL AND {k} = 0) OR "
-            f"(({col} % {n_shards}) + {n_shards}) % {n_shards} = {k})"
-        )
+        pred = shard_predicate(col, k, n_shards)
         t0 = time.time()
         con = duckdb.connect()
         # same env knobs as selfcheck (r11): a lone shard in its own
@@ -236,11 +261,7 @@ def main() -> int:
             f"SET temp_directory='{tempfile.mkdtemp(prefix='dbs_shard_spill_', dir=_sp)}'"
         )
         if push_expr is not None:
-            e = f"({push_expr})"
-            push_pred = (
-                f"(({e} IS NULL AND {k} = 0) OR "
-                f"(({e} % {n_shards}) + {n_shards}) % {n_shards} = {k})"
-            )
+            push_pred = shard_predicate(push_expr, k, n_shards)
         else:
             push_pred = pred
         for t in TABLE_NAMES:
@@ -264,17 +285,8 @@ def main() -> int:
         oracle_sql = q.oracle
         if inject_marker is not None:
             assert push_expr is not None, "--inject-marker needs --push-expr"
-            n_hits = oracle_sql.count(inject_marker)
-            assert n_hits == 1, (
-                f"--inject-marker must match exactly once, found {n_hits}"
-            )
-            e = f"({push_expr})"
-            inj = (
-                f"((({e}) IS NULL AND {k} = 0) OR "
-                f"(({e} % {n_shards}) + {n_shards}) % {n_shards} = {k})"
-            )
-            oracle_sql = oracle_sql.replace(
-                inject_marker, f"{inject_marker} AND {inj}"
+            oracle_sql = build_injected_oracle(
+                oracle_sql, inject_marker, push_expr, k, n_shards
             )
         try:
             # with --push-table the base view is already shard-filtered;
