@@ -52,6 +52,23 @@ same key) — which is this tool's premise — and the assumption is
 SELF-VERIFYING: the Spark side still filters the full OUTPUT, so if
 decomposability did not hold, the per-shard digests would diverge and
 the shard FAILs loudly rather than passing on a wrong subset.
+
+--spark-mat DIR (r12) materializes the ENGINE output ONCE — the parent
+runs the full query and writes it to DIR partitioned by the shard
+assignment — and each shard child digests its partition of that
+parquet instead of re-executing the query. Without it, N shards pay N
+full engine executions (dedup_ppjoin at sf10: 16 x ~23 min of join
+compute just to re-derive the same 709.9M rows — the r12 first attempt
+extrapolated to ~8 h of wall). Evidence class is unchanged: selfcheck
+and the default shard path ALREADY digest a scratch-parquet
+materialization of the engine output (see the materialize-then-stream
+comment below), this just hoists the write above the shard loop. Every
+output row is still digested exactly once against the independently
+sharded oracle; a mis-partitioned write cannot pass silently because a
+row in the wrong partition fails BOTH its own shard's digest and the
+parent's coverage-sum (children filter by partition AND by the exact
+predicate, so a misplaced row vanishes from every shard and the sum
+comes up short).
 """
 
 from __future__ import annotations
@@ -148,6 +165,42 @@ def main() -> int:
                 "--inject-marker",
                 sys.argv[sys.argv.index("--inject-marker") + 1],
             ]
+        spark_mat = (
+            sys.argv[sys.argv.index("--spark-mat") + 1]
+            if "--spark-mat" in sys.argv
+            else None
+        )
+        if spark_mat is not None:
+            import os as _os
+
+            push += ["--spark-mat", spark_mat]
+            if not _os.path.isdir(spark_mat):
+                # one full engine execution, written partitioned by the
+                # shard assignment (pmod, NULLs to shard 0 — the same
+                # total map as shard_predicate)
+                from pyspark.sql import functions as F
+
+                registry = load_all()
+                spark = get_spark("shard_check_mat")
+                sdf = registry[sys.argv[2]].fn(spark, sys.argv[1])
+                scol = sys.argv[3]
+                assign = (
+                    F.when(F.col(scol).isNull(), 0)
+                    .otherwise(F.pmod(F.col(scol), F.lit(n_shards)))
+                    .cast("int")
+                )
+                t_mat = time.time()
+                (
+                    sdf.withColumn("__shard", assign)
+                    .write.partitionBy("__shard")
+                    .mode("overwrite")
+                    .parquet(spark_mat)
+                )
+                print(
+                    f"ok   {sys.argv[2]}: engine output materialized once "
+                    f"to {spark_mat} ({time.time()-t_mat:.1f}s)",
+                    flush=True,
+                )
 
         def run_shard(k: int) -> subprocess.CompletedProcess:
             return subprocess.run(
@@ -163,16 +216,23 @@ def main() -> int:
                 text=True,
             )
 
+        # stream results as shards land (r12): pool.map held every
+        # child's output until ALL finished, so a multi-hour sf10 run
+        # left the log empty (and a killed parent left NO record of the
+        # shards that had already passed)
+        from concurrent.futures import as_completed
+
         with ThreadPoolExecutor(max_workers=n_par) as pool:
-            results = list(pool.map(run_shard, shards))
-        for r in results:
-            sys.stdout.write(r.stdout)
-            sys.stderr.write(r.stderr)
-            sys.stdout.flush()
-            rc = rc or r.returncode
-            m = re.search(r"ok .*: (\d+) rows match", r.stdout)
-            if m:
-                shard_rows += int(m.group(1))
+            futs = [pool.submit(run_shard, k) for k in shards]
+            for fut in as_completed(futs):
+                r = fut.result()
+                sys.stdout.write(r.stdout)
+                sys.stderr.write(r.stderr)
+                sys.stdout.flush()
+                rc = rc or r.returncode
+                m = re.search(r"ok .*: (\d+) rows match", r.stdout)
+                if m:
+                    shard_rows += int(m.group(1))
         # (r11, ADVICE) coverage-sum assertion: the n shard outputs must
         # PARTITION the full result — if the shard predicate silently
         # drops rows (the negative-key %-sign bug this guards against),
@@ -181,7 +241,13 @@ def main() -> int:
         if "--only" not in sys.argv and rc == 0:
             registry = load_all()
             spark = get_spark("shard_check_cov")
-            full_n = registry[sys.argv[2]].fn(spark, sys.argv[1]).count()
+            if spark_mat is not None:
+                # the materialized output IS what the shards digested;
+                # counting it (rather than re-running the query) makes
+                # the coverage sum exact over the same physical rows
+                full_n = spark.read.parquet(spark_mat).count()
+            else:
+                full_n = registry[sys.argv[2]].fn(spark, sys.argv[1]).count()
             if full_n != shard_rows:
                 print(
                     f"FAIL {sys.argv[2]}: shard coverage gap — per-shard "
@@ -222,11 +288,21 @@ def main() -> int:
         if "--inject-marker" in sys.argv
         else None
     )
+    spark_mat = (
+        sys.argv[sys.argv.index("--spark-mat") + 1]
+        if "--spark-mat" in sys.argv
+        else None
+    )
     registry = load_all()
     q = registry[name]
     assert q.oracle is not None, f"{name} has no oracle"
     spark = get_spark("shard_check")
-    sdf_full = q.fn(spark, sf_dir)
+    mat_full = None
+    if spark_mat is not None:
+        mat_full = spark.read.parquet(spark_mat)
+        sdf_full = mat_full.drop("__shard")
+    else:
+        sdf_full = q.fn(spark, sf_dir)
     scols = sdf_full.columns
     stypes = dict(sdf_full.dtypes)
     assert col in scols, f"shard col {col} not in output {scols}"
@@ -339,15 +415,27 @@ def main() -> int:
             sdig = RowDigest(scols)
             from pyspark.sql import functions as F
 
-            sfilt = sdf_full.filter(F.expr(pred))
+            if mat_full is not None:
+                # partition pruning on __shard bounds the scan to this
+                # shard's directory; the exact predicate re-filter means
+                # a row the writer misplaced satisfies NEITHER shard's
+                # pair of filters and surfaces as a coverage-sum gap
+                sfilt = (
+                    mat_full.filter(F.col("__shard") == k)
+                    .drop("__shard")
+                    .filter(F.expr(pred))
+                )
+            else:
+                sfilt = sdf_full.filter(F.expr(pred))
             # (r11) materialize-then-stream, same rationale as selfcheck:
             # toLocalIterator runs one job per partition, serializing the
             # shard's compute to ~2 cores; a scratch-parquet write runs
             # the plan once fully parallel and the stream pays only
             # parquet decode. Fall back to direct streaming on write
-            # rejection (NullType literals).
+            # rejection (NullType literals). Skipped when the input is
+            # already the --spark-mat parquet — that IS the scratch copy.
             mat_dir = None
-            if odig.n > 100_000:  # small shards: write+read isn't worth it
+            if mat_full is None and odig.n > 100_000:
                 try:
                     import shutil as _sh
                     import tempfile as _tf2
