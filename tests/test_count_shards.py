@@ -48,6 +48,37 @@ def test_specs_match_live_oracles_exactly_once():
         assert reg[name].oracle.count(spec["marker"]) == 1, name
 
 
+def test_digest_lane_refuses_double_columns():
+    # dedup_ppjoin's jaccard is DOUBLE — its VARCHAR cast is not
+    # engine-portable, so the sql-digest shard lane must refuse it
+    # (RowDigest shards are its lane)
+    from count_shards import _digest_cols
+
+    with pytest.raises(AssertionError, match="unsupported"):
+        _digest_cols({"id_a": "bigint", "jaccard": "double"})
+
+
+def test_digest_shards_match_engine(monkeypatch):
+    # end-to-end value check of the sharded sql-digest lane at sf0.001:
+    # per-shard oracle digests equal the engine's single grouped-digest
+    # execution, and their n's partition the full count
+    monkeypatch.setenv("SELFCHECK_DUCK_MEM", "2GB")
+    monkeypatch.setenv("SELFCHECK_DUCK_THREADS", "4")
+    from count_shards import engine_shard_digests, shard_digest
+
+    n = 4
+    name = "link_blocked_pairs"
+    engine = engine_shard_digests(name, SF_DIR, n)
+    total = 0
+    for k in range(n):
+        odig = shard_digest(name, SF_DIR, k, n)
+        edig = engine.get(k, {key: 0 for key in odig})
+        assert edig == odig, (k, edig, odig)
+        total += odig["n"]
+    assert total == sum(d["n"] for d in engine.values())
+    assert total > 0
+
+
 @pytest.mark.parametrize("name", sorted(INJECTIONS))
 def test_shard_counts_partition_full_count(name, monkeypatch):
     monkeypatch.setenv("SELFCHECK_DUCK_MEM", "2GB")

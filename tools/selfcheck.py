@@ -127,6 +127,63 @@ _DIGEST_OK_DUCK = {"bigint", "integer", "smallint", "tinyint", "hugeint", "varch
 _DIGEST_OK_SPARK = {"bigint", "int", "smallint", "tinyint", "string", "date"}
 
 
+def duck_digest_sql(order: list[str], int_cols: list[str], oracle: str) -> str:
+    """DuckDB side of the sql-digest: one aggregate row — COUNT(*), the
+    order-insensitive SUM of the 60-bit row hash, and per-int-column
+    SUMs — over ORACLE. Factored out of sqldigest_compare (r12) so the
+    sharded digest lane (tools/count_shards.py --digest) hashes rows
+    with byte-identical canonicalization; see the netstring/NULL-sentinel
+    comments in sqldigest_compare for why each piece is what it is."""
+    canon_cols = ", ".join(
+        f"COALESCE(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' || "
+        f"CAST({c} AS VARCHAR), chr(1))"
+        for c in order
+    )
+    hexterms = " + ".join(
+        f"CAST(strpos('{_HEXDIGITS}', substr(__h, {i}, 1)) - 1 AS HUGEINT)"
+        f" * CAST('{16 ** (15 - i)}' AS HUGEINT)"
+        for i in range(1, 16)
+    )
+    sums = "".join(
+        f", COALESCE(SUM(CAST({c} AS HUGEINT)), 0) AS sum_{c}" for c in int_cols
+    )
+    return (
+        f"SELECT COUNT(*) AS n, COALESCE(SUM({hexterms}), 0) AS hsum{sums} "
+        f"FROM (SELECT md5(concat_ws('|', {canon_cols})) AS __h, * FROM ({oracle}) t0) t"
+    )
+
+
+def spark_digest_aggs(order: list[str], int_cols: list[str]) -> list:
+    """Spark side of the sql-digest: the aggregate columns matching
+    duck_digest_sql exactly (same canonical row string, same 60-bit
+    hash, decimal(38,0) sums)."""
+    from pyspark.sql import functions as F
+
+    sval = [F.col(c).cast("string") for c in order]
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            *[
+                F.coalesce(
+                    F.concat(F.length(v).cast("string"), F.lit(":"), v),
+                    F.lit("\x01"),
+                )
+                for v in sval
+            ],
+        )
+    )
+    hval = F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(hval), F.lit(0).cast("decimal(38,0)")).alias("hsum"),
+    ] + [
+        F.coalesce(
+            F.sum(F.col(c).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+        ).alias(f"sum_{c}")
+        for c in int_cols
+    ]
+
+
 def sqldigest_compare(con, sdf, oracle: str) -> tuple[list[str], int]:
     """Value-compare a query via engine-side aggregate digests instead of
     row streaming: COUNT(*), an order-insensitive SUM of a 60-bit row hash
@@ -172,24 +229,11 @@ def sqldigest_compare(con, sdf, oracle: str) -> tuple[list[str], int]:
     # no two distinct rows concat to the same string (r10, ADVICE).
     # NB: '||' (NULL-propagating), NOT DuckDB's concat() — concat() SKIPS
     # NULL arguments, so a NULL field would encode as ':' instead of
-    # falling through to the chr(1) sentinel like Spark's F.concat does
-    canon_cols = ", ".join(
-        f"COALESCE(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' || "
-        f"CAST({c} AS VARCHAR), chr(1))"
-        for c in order
-    )
-    hexterms = " + ".join(
-        f"CAST(strpos('{_HEXDIGITS}', substr(__h, {i}, 1)) - 1 AS HUGEINT)"
-        f" * CAST('{16 ** (15 - i)}' AS HUGEINT)"
-        for i in range(1, 16)
-    )
-    sums = "".join(
-        f", COALESCE(SUM(CAST({c} AS HUGEINT)), 0) AS sum_{c}" for c in int_cols
-    )
-    duck_sql = (
-        f"SELECT COUNT(*) AS n, COALESCE(SUM({hexterms}), 0) AS hsum{sums} "
-        f"FROM (SELECT md5(concat_ws('|', {canon_cols})) AS __h, * FROM ({oracle}) t0) t"
-    )
+    # falling through to the chr(1) sentinel like Spark's F.concat does.
+    # Both sides are built by the shared duck_digest_sql /
+    # spark_digest_aggs helpers (r12) so the sharded digest lane cannot
+    # drift from this one.
+    duck_sql = duck_digest_sql(order, int_cols, oracle)
     # run ONCE and reuse the cursor — description re-executes the full
     # aggregate otherwise, doubling the 481M-row oracle this lane exists
     # for (r10, ADVICE)
@@ -199,30 +243,7 @@ def sqldigest_compare(con, sdf, oracle: str) -> tuple[list[str], int]:
     odig = {k: int(v) for k, v in zip(ocols_out, orow)}
 
     # Spark side: the identical aggregates, reduced executor-side
-    sval = [F.col(c).cast("string") for c in order]
-    h = F.md5(
-        F.concat_ws(
-            "|",
-            *[
-                F.coalesce(
-                    F.concat(F.length(v).cast("string"), F.lit(":"), v),
-                    F.lit("\x01"),
-                )
-                for v in sval
-            ],
-        )
-    )
-    hval = F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
-    aggs = [
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(hval), F.lit(0).cast("decimal(38,0)")).alias("hsum"),
-    ] + [
-        F.coalesce(
-            F.sum(F.col(c).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
-        ).alias(f"sum_{c}")
-        for c in int_cols
-    ]
-    srow = sdf.agg(*aggs).collect()[0].asDict()
+    srow = sdf.agg(*spark_digest_aggs(order, int_cols)).collect()[0].asDict()
     sdig = {k: int(v) for k, v in srow.items()}
 
     if sdig["n"] != odig["n"]:
