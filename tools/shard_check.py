@@ -190,8 +190,17 @@ def main() -> int:
                     .cast("int")
                 )
                 t_mat = time.time()
+                # repartition on __shard BEFORE the partitioned write:
+                # without it every task holds one open parquet writer
+                # (and its row-group buffer) per shard directory — 16
+                # writers x 32 tasks exhausted task memory at sf10
+                # (GCLocker retries -> page-allocation failures). Keyed
+                # on __shard alone, each task owns exactly one directory
+                # and one writer; 4x n partitions keeps hash collisions
+                # from serializing several shards into one task.
                 (
                     sdf.withColumn("__shard", assign)
+                    .repartition(n_shards * 4, "__shard")
                     .write.partitionBy("__shard")
                     .mode("overwrite")
                     .parquet(spark_mat)
