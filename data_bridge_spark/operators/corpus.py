@@ -154,6 +154,10 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
+        # r12: the lane table feeds one broadcast build per probe
+        # position (k of them) — fence it so the bitmap fold runs once,
+        # not once per probe join; it is at most m/64 rows
+        .transform(lineage_cut)
     )
     cand = tri.filter(F.col("doc_id") >= _BENCH_MAX_DOC)
     for i in range(_BLOOM_K):

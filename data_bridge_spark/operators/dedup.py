@@ -210,12 +210,21 @@ def lsh_candidate_pairs(
     bucket star guard.
 
     The band table is localCheckpoint'd after the bucket-stats window so
-    the k minhashes and the window run once, not once per join side; the
-    per-bucket count/min share one shuffle on the band key, and the
-    small-bucket self-join re-shuffles only checkpointed band rows (AQE
-    splits whatever skew remains under the cap). Shared by
-    dedup_minhash_pairs, the CC labeler, and operators/graph.py so the
-    Spark side and every oracle derive edges from one definition."""
+    the k minhashes and the window run once, not once per consumer; the
+    per-bucket count/min share one shuffle on the band key. Small-bucket
+    pairs are enumerated PER BUCKET from a sorted member array
+    (r12 rewrite): the former small-bucket self-join re-shuffled the
+    checkpointed band rows twice more (once per join side) and sort-
+    merged them; grouping the <=cap survivors back into one array per
+    bucket is a single re-shuffle of the same rows, and the i<j
+    enumeration over the sorted array emits the identical (id_a < id_b)
+    pair set — bounded by cap² rows per bucket, so the aggregation
+    buffer stays small by construction. Oversized buckets NEVER pass
+    through collect_list: the star guard still streams row-wise off the
+    window stats (bmin ↔ member), which is what makes the mega-bucket
+    case safe at 100 TB. Shared by dedup_minhash_pairs, the CC labeler,
+    and operators/graph.py so the Spark side and every oracle derive
+    edges from one definition."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_idx", "band_hash")
@@ -231,13 +240,18 @@ def lsh_candidate_pairs(
         .transform(lineage_cut)
     )
     small = sized.filter(F.col("bsz") <= cap)
-    l, r = small.alias("l"), small.alias("r")
-    pairs_small = l.join(
-        r,
-        (F.col("l.band_idx") == F.col("r.band_idx"))
-        & (F.col("l.band_hash") == F.col("r.band_hash"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")),
-    ).select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+    members = small.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    pairs_small = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) ->"
+                " transform(slice(ids, i + 2, size(ids)),"
+                " b -> struct(a AS id_a, b AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
     pairs_star = sized.filter(
         (F.col("bsz") > cap) & (F.col("doc_id") != F.col("bmin"))
     ).select(F.col("bmin").alias("id_a"), F.col("doc_id").alias("id_b"))

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.functions.exact import dec, dec_to_double, dmoney
 from data_bridge_spark.operators.insights import _bucketed_prefix_sums
+from data_bridge_spark.session import lineage_cut
 from data_bridge_spark.registry import register
 
 # The one-hot / hashing domain for c_mktsegment — the "fitted vocabulary".
@@ -211,11 +212,15 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while DuckDB sorts them last, so letting a NULL into the prefix sum
     # would shift every cumulative count (and decile) by the NULL count.
     nn = t.orders.filter(F.col("o_totalprice").isNotNull())
+    # r12: fence the per-value table (3-way fan inside the prefix-sum
+    # helper, see _bucketed_prefix_sums) and derive the grand total from
+    # it — SUM(cnt) == COUNT(*) over nn exactly — instead of re-scanning
+    # orders for a second COUNT pass.
     per_v = nn.groupBy(F.col("o_totalprice").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).transform(lineage_cut)
     run = _bucketed_prefix_sums(per_v, "v", ("cnt",)).select("v", "run_cnt")
-    tot = nn.agg(F.count(F.lit(1)).alias("n"))
+    tot = per_v.agg(F.sum("cnt").alias("n"))
     return (
         t.orders.join(run, F.col("o_totalprice") == F.col("v"))
         .crossJoin(F.broadcast(tot))
@@ -422,11 +427,12 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL lengths excluded up front — same NULLS FIRST (Spark) vs NULLS
     # LAST (DuckDB) window divergence as feature_quantile_bucket.
     nn = t.documents.filter(F.col("n_chars").isNotNull())
+    # r12: same fence + derived total as feature_quantile_bucket
     per_v = nn.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).transform(lineage_cut)
     run = _bucketed_prefix_sums(per_v, "v", ("cnt",)).select("v", "run_cnt")
-    tot = nn.agg(F.count(F.lit(1)).alias("n"))
+    tot = per_v.agg(F.sum("cnt").alias("n"))
     bin_ = (F.expr(f"((run_cnt - 1) * {_CURR_BINS}) div n") + 1)
     h40 = F.conv(
         F.substring(
@@ -506,7 +512,12 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     ws = F.split(F.lower(F.col("text")), " ")
     toks = t.documents.select(F.explode(ws).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    # r12: uni feeds three branches (nt, u1, u2) and pc_all two (np_,
+    # pc); both are vocabulary-bounded count tables whose subtrees each
+    # re-run a full tokenize+explode+count shuffle per consumer without
+    # a fence. Fence each once — the before-plan ran 12 exchanges over
+    # 5 parquet scans for this query (plans/r12/text_collocations_before.txt).
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w")).transform(lineage_cut)
     nt = uni.agg(F.sum("n_w").cast("double").alias("n_tok"))
     n1 = F.greatest(F.size(ws) - 1, F.lit(0))
     pairs = t.documents.select(
@@ -514,7 +525,9 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.arrays_zip(F.slice(ws, 1, n1).alias("w1"), F.slice(ws, 2, n1).alias("w2"))
         ).alias("pr")
     ).select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
-    pc_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    pc_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")).transform(
+        lineage_cut
+    )
     # the lift denominator is the TRUE corpus pair total (pre-filter);
     # the min-count filter only prunes which pairs are scored
     np_ = pc_all.agg(F.sum("n_pair").cast("double").alias("n_pairs"))

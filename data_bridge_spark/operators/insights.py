@@ -21,6 +21,7 @@ from data_bridge_spark.catalog import Tables
 from data_bridge_spark.functions.exact import davg, dec_to_double, dfactor, dmoney, dsum
 from data_bridge_spark.operators.dedup import _bands_long, _minhash_sql_cols, _norm, _NORM_SQL
 from data_bridge_spark.registry import register
+from data_bridge_spark.session import lineage_cut
 
 _CUT = "1997-07-01 00:00:00"  # Q3-style split date (mid-range of o_orderdate)
 
@@ -214,7 +215,17 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse); the 1-row dropped count broadcasts back via crossJoin. Per
     surviving basket the expansion is O(min(b, _MAX_BASKET)²)."""
     t = Tables(spark, sf_dir)
-    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    # r12: items fans out to three branches (sized, frequent, pruned) —
+    # fence the distinct once; and the in-basket self-join is replaced
+    # by per-basket pair enumeration over a sorted member array: every
+    # surviving basket is <= _MAX_BASKET items BY CONSTRUCTION (the cap
+    # filter runs first), so the aggregation buffer is bounded and the
+    # i<j walk over the strictly-ascending array emits exactly the
+    # (part_a < part_b) pair multiset the join produced — one orderkey
+    # exchange instead of two join-side exchanges plus their sorts.
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct().transform(
+        lineage_cut
+    )
     sized = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("b_size"))
     kept = sized.filter(F.col("b_size") <= _MAX_BASKET).select("l_orderkey")
     dropped = sized.filter(F.col("b_size") > _MAX_BASKET).agg(
@@ -229,17 +240,21 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = items.join(kept, "l_orderkey", "left_semi").join(
         frequent, "l_partkey", "left_semi"
     )
-    a = pruned.alias("a")
-    b = pruned.alias("b")
+    baskets = pruned.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (a, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " b -> struct(a AS part_a, b AS part_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= _MIN_SUPPORT)
         .crossJoin(F.broadcast(dropped))
@@ -611,7 +626,21 @@ def _bucketed_prefix_sums(
     Degenerate edge: width_bucket returns NULL when min == max — and it
     does so UNIFORMLY (only when every value is the same), so the
     coalesce to bucket 1 is the single-bucket case, never a mix of real
-    and null buckets. Shared by stats_ks and agg_gini."""
+    and null buckets. Shared by stats_ks and agg_gini.
+
+    r12 (optimization): ``df`` — the per-distinct-value aggregate every
+    caller feeds in — is consumed by THREE branches below (the (min,max)
+    scalar, the in-bucket running sums, and the per-bucket totals), and
+    most callers hang a fourth (their grand-total scalar) off the same
+    table. Without a lineage fence Catalyst inlines the subtree into
+    every consumer: the measured stats_mannwhitney plan scanned events
+    4x and ran the per-value aggregation 4x
+    (plans/r12/stats_mannwhitney_before.txt). Callers therefore pass the
+    per-value table through ``lineage_cut`` FIRST (fencing it in the
+    caller lets their own total branch reuse the same materialization —
+    fencing here would leave that branch re-aggregating the source); it
+    is the smallest relation in the query (bounded by #distinct values),
+    the same policy as the LSH band / LM pair tables."""
     vd = F.col(value_col).cast("double")
     rng = df.agg(F.min(vd).alias("_vmin"), F.max(vd).alias("_vmax"))
     bucketed = (
@@ -718,7 +747,7 @@ def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_v = s.groupBy("v").agg(
         F.sum("is_a").alias("na_v"), F.sum(1 - F.col("is_a")).alias("nb_v")
-    )
+    ).transform(lineage_cut)
     tot = per_v.agg(
         F.sum("na_v").cast("double").alias("na"),
         F.sum("nb_v").cast("double").alias("nb"),
@@ -934,7 +963,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = t.orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
-    vals = spend.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    vals = spend.groupBy("x").agg(F.count(F.lit(1)).alias("c")).transform(lineage_cut)
     ranked = _bucketed_prefix_sums(
         vals, "x", ("c",), n_buckets=_GINI_BUCKETS, inclusive=False
     ).withColumnRenamed("run_c", "r")
@@ -1054,7 +1083,7 @@ def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").alias("na_v"),
         F.sum(1 - F.col("is_a")).alias("nb_v"),
         F.count(F.lit(1)).alias("tot_v"),
-    )
+    ).transform(lineage_cut)
     run = _bucketed_prefix_sums(per_v, "v", ("tot_v",)).withColumn(
         "before_v", F.col("run_tot_v") - F.col("tot_v")
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.registry import register
+from data_bridge_spark.session import lineage_cut
 
 _SEED = "split-v1"
 
@@ -287,14 +288,19 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             passed.alias("passed"),
         )
 
-    n_orders = row("orders", "rowcount", F.count(F.lit(1)), F.count(F.lit(1)) > 0, orders)
-    nulls = row(
-        "orders",
-        "null_custkey",
-        F.count_if(F.col("o_custkey").isNull()),
-        F.count_if(F.col("o_custkey").isNull()) == 0,
-        orders,
-    )
+    # r12: rowcount + null_custkey fold into ONE orders aggregate and
+    # unpivot to their two report rows (dq_expectations' one-scan
+    # doctrine) — orders is scanned twice (counts + orphan anti-join)
+    # instead of three times; values are byte-identical
+    both = orders.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_if(F.col("o_custkey").isNull()).alias("_nn"),
+    ).selectExpr(
+        "stack(2,"
+        " 'rowcount', CAST(_n AS LONG), _n > 0,"
+        " 'null_custkey', CAST(_nn AS LONG), _nn = 0"
+        ") AS (check_name, observed, passed)"
+    ).select(F.lit("orders").alias("tbl"), "check_name", "observed", "passed")
     orphans_src = orders.join(
         customer, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
     )
@@ -306,7 +312,7 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_extendedprice") < 0) == 0,
         lineitem,
     )
-    return n_orders.unionByName(nulls).unionByName(orphans).unionByName(neg)
+    return both.unionByName(orphans).unionByName(neg)
 
 
 @register(
@@ -427,7 +433,11 @@ def mlprep_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow map — at 100 TB output volume is the only cost, which is the
     point of the operation."""
     t = Tables(spark, sf_dir)
-    counts = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # r12: counts feeds both the max-class scalar and the factor table —
+    # fence the one-row-per-class aggregate so documents is scanned once
+    counts = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).transform(
+        lineage_cut
+    )
     target = counts.agg(F.max("n").alias("t"))
     reps = counts.crossJoin(F.broadcast(target)).select(
         "lang", F.floor(F.col("t") / F.col("n")).cast("long").alias("n_copies")

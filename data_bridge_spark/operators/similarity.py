@@ -589,7 +589,14 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables, so the report's every value — including the recall doubles
     (integer-ratio IEEE division) — is cross-engine checked. The 1-row
     n_exact aggregate broadcasts via the declared scalar-edge crossJoin."""
-    brute = sim_topk(spark, sf_dir).select("probe_id", "cand_id")
+    from data_bridge_spark.session import lineage_cut
+
+    # r12: brute feeds two consumers (hit join + ground-truth count) and
+    # the lsh|ivf union feeds two more (hit join + per-method count);
+    # each subtree is an entire ANN search — fence both top-k-sized
+    # results so every search runs exactly once (the before-plan ran 23
+    # exchanges over 12 scans, plans/r12/sim_recall_report_before.txt)
+    brute = lineage_cut(sim_topk(spark, sf_dir).select("probe_id", "cand_id"))
     lsh = (
         sim_topk_lsh(spark, sf_dir)
         .filter(F.col("probe_id") < 10)
@@ -600,7 +607,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("probe_id") < 10)
         .select(F.lit("ivf").alias("method"), "probe_id", "cand_id")
     )
-    m = lsh.unionByName(ivf)
+    m = lineage_cut(lsh.unionByName(ivf))
     hits = m.join(brute, ["probe_id", "cand_id"]).groupBy("method").agg(
         F.count(F.lit(1)).alias("n_hit")
     )

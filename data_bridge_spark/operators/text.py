@@ -284,14 +284,20 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    tot = cnt.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
+    # r12: the denominator SUM(n_pair) GROUP BY w1 is a window over the
+    # count table, not an aggregate-and-join-back — one exchange on w1
+    # instead of (aggregate exchange + join re-exchange), and the cnt
+    # subtree is no longer duplicated into the join's build side. The
+    # n_first value is the identical exact integer sum.
+    from pyspark.sql import Window as W
+
+    n_first = F.sum("n_pair").over(W.partitionBy("w1"))
     return (
-        cnt.join(tot, "w1")
-        .select(
+        cnt.select(
             "w1",
             "w2",
             "n_pair",
-            (F.col("n_pair").cast("double") / F.col("n_first").cast("double")).alias("cond_p"),
+            (F.col("n_pair").cast("double") / n_first.cast("double")).alias("cond_p"),
         )
         .orderBy(F.desc("n_pair"), "w1", "w2")
         .limit(50)
@@ -366,11 +372,18 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(lineage_cut)
     )
     cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    tot = cnt.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
-    lm = cnt.join(tot, "w1").select(
+    # r12: P(w2|w1) denominator via a window over the count table (one
+    # w1 exchange) instead of aggregate-and-join-back — same exact
+    # integer sum, one fewer exchange and no duplicated cnt subtree.
+    from pyspark.sql import Window as W
+
+    lm = cnt.select(
         "w1",
         "w2",
-        (F.col("n_pair").cast("double") / F.col("n_first").cast("double")).alias("p"),
+        (
+            F.col("n_pair").cast("double")
+            / F.sum("n_pair").over(W.partitionBy("w1")).cast("double")
+        ).alias("p"),
     )
     scored = pairs.join(lm, ["w1", "w2"])
     vals = F.transform(
@@ -453,7 +466,13 @@ def text_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t.documents.select(
         "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     )
-    ts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_ts"))
+    # r12: ts feeds four branches (s, tm, tot, scored) — without a
+    # lineage fence each branch re-runs the explode + (source, term)
+    # count shuffle (the only data-sized exchange in the query) from
+    # scratch. Fence it once; it is vocabulary-bounded per source.
+    ts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_ts")).transform(
+        lineage_cut
+    )
     s = ts.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
     tm = ts.groupBy("term").agg(F.sum("n_ts").alias("n_t"))
     tot = ts.agg(F.sum("n_ts").alias("n"))
@@ -527,9 +546,12 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     from data_bridge_spark.operators.corpus import _ngrams, _words
 
+    # r12: tri feeds three branches (common, per_doc, boiler) — fence the
+    # distinct (doc, source, shingle) grain so the tokenize+explode+
+    # distinct shuffle runs once instead of three times.
     tri = t.documents.select(
         "doc_id", "source", F.explode(_ngrams(_words(F.col("text")), 3)).alias("shingle")
-    ).distinct()
+    ).distinct().transform(lineage_cut)
     common = (
         tri.groupBy("source", "shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -833,41 +833,45 @@ def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     while other suppliers were involved — EXISTS + NOT EXISTS against
     the same fact, the double-self-join shape. No l_receiptdate /
     l_commitdate in this schema, so "problem" is l_returnflag = 'R'.
-    Both subqueries decorrelate to semi/anti joins on orderkey with the
-    suppkey inequality as a residual condition — three scans of
-    lineitem co-shuffled on the same key (one exchange shape, AQE
-    reuses it), never a per-row subquery loop. Top-20 with a name
-    tiebreak via TakeOrdered."""
+    r12 rewrite (one scan instead of three): both correlated subqueries
+    are per-ORDER properties of the supplier set, so they fold into a
+    two-level aggregation of a single lineitem pass — per (orderkey,
+    suppkey): the count of R lines; per orderkey: the distinct-supplier
+    count, the count of suppliers with any R line, and (when that count
+    is exactly 1) that supplier and its R-line tally. An l1 row (R line
+    of supplier s in order o) survives the original EXISTS iff o has >=2
+    distinct non-null suppliers, and the NOT EXISTS iff s is o's ONLY
+    R-line supplier; the surviving rows per (o, s) number exactly
+    r_cnt. The former plan shuffled every lineitem row three times
+    (semi + anti with inequality residuals); this one shuffles the fact
+    once into (orderkey, suppkey) partials (map-side combined) and once
+    more at order grain, provably row-equivalent for any data: NULL
+    suppkeys/orderkeys are filtered up front because an equality or
+    inequality against NULL never satisfies the original EXISTS — a
+    NULL-suppkey row is neither countable, another-supplier evidence,
+    nor an R-blocker. The orders semi-join lands on the order-grain
+    aggregate (already partitioned by orderkey — only the orders side
+    shuffles). Top-20 with a name tiebreak via TakeOrdered."""
     t = Tables(spark, sf_dir)
-    l1 = (
-        t.lineitem.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .alias("l1")
+    li = t.lineitem.filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    ).select("l_orderkey", "l_suppkey", (F.col("l_returnflag") == "R").alias("is_r"))
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count_if(F.col("is_r")).alias("n_r")
     )
-    others = t.lineitem.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    ).alias("l2")
-    other_problems = (
-        t.lineitem.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-        .alias("l3")
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count_if(F.col("n_r") > 0).alias("n_r_supp"),
+        F.max(F.when(F.col("n_r") > 0, F.col("l_suppkey"))).alias("r_supp"),
+        F.max(F.when(F.col("n_r") > 0, F.col("n_r"))).alias("r_cnt"),
     )
     final_orders = t.orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     return (
-        l1.join(
-            others,
-            (F.col("l1.l_orderkey") == F.col("k2")) & (F.col("l1.l_suppkey") != F.col("s2")),
-            "left_semi",
-        )
-        .join(
-            other_problems,
-            (F.col("l1.l_orderkey") == F.col("k3")) & (F.col("l1.l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
-        .join(final_orders, F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(F.broadcast(t.supplier), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        per_o.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(final_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(t.supplier), F.col("r_supp") == F.col("s_suppkey"))
         .groupBy(F.col("s_name").alias("name"))
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("r_cnt").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("name"))
         .limit(20)
     )
