@@ -587,15 +587,17 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-distinct); the user→cohort join is on the already-shuffled user
     key. Week buckets via date_trunc, Monday-based in both engines."""
     t = Tables(spark, sf_dir)
-    firsts = t.events.groupBy("user_id").agg(
-        F.min(F.date_trunc("week", F.col("ts")).cast("date")).alias("cohort_week")
-    )
+    # r12: cohort_week = MIN over a user_id window instead of a per-user
+    # aggregate joined back — one events scan and one user_id exchange
+    # instead of two scans + (agg exchange + join exchange). Identical
+    # value: the window MIN over all of a user's rows IS the first-seen
+    # week the aggregate computed.
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    w = Window.partitionBy("user_id")
     return (
-        t.events.join(firsts, "user_id")
-        .groupBy(
-            "cohort_week",
-            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
-        )
+        t.events.select("user_id", wk.alias("active_week"))
+        .withColumn("cohort_week", F.min("active_week").over(w))
+        .groupBy("cohort_week", "active_week")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
 

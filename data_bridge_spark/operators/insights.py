@@ -825,11 +825,14 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit = F.substring(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").cast("string"), 1, 1
     ).cast("int")
+    # r12: counts feeds the total scalar and the final select — fence the
+    # 9-row digit histogram so orders is scanned once, not twice
     counts = (
         t.orders.where(F.col("o_totalprice") > 0)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+        .transform(lineage_cut)
     )
     tot = counts.agg(F.sum("n").cast("double").alias("total"))
     benford = F.create_map(
@@ -885,9 +888,12 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast edge. All scores are IEEE divisions of exact
     integer counts."""
     t = Tables(spark, sf_dir)
+    # r12: k feeds the totals scalar and the top-k — fence the per-key
+    # count table (the aggregate's own output, far smaller than the fact)
+    # so lineitem is scanned and count-shuffled once, not twice
     k = t.lineitem.groupBy(F.col("l_orderkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).transform(lineage_cut)
     tot = k.agg(
         F.sum("n").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("n_keys"),

@@ -433,8 +433,12 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is O(versions-per-key), never an interval BNLJ. This is the
     standard PIT shape at any scale: facts shuffle once on the key,
     versions shuffle once on the key, nothing explodes."""
+    from data_bridge_spark.session import lineage_cut
+
     t = Tables(spark, sf_dir)
-    base = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    # r12: base feeds three version branches (v1, changed, kept) — fence
+    # the 3-column projection so customer is scanned once, not three times
+    base = lineage_cut(t.customer.select("c_custkey", "c_mktsegment", "c_acctbal"))
     split = F.lit(_PIT_SPLIT).cast("date")
     openend = F.lit("9999-12-31").cast("date")
     v1 = base.select(
