@@ -178,25 +178,30 @@ _BUCKET_CAP = 64
 _CC_ORACLE_LEVELS = 32
 
 
+def _band_array(n_hashes: int = _N_HASHES, bands: int = _BANDS) -> F.Column:
+    """Array of per-band hashes over already-computed mh_* signature
+    columns; index == band_idx. Single source of truth for the band-key
+    derivation (_bands_long explodes it; dedup_incremental fences it)."""
+    rows_per_band = n_hashes // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def _bands_long(docs: DataFrame, n_hashes: int = _N_HASHES, bands: int = _BANDS) -> DataFrame:
     """(doc_id, band_idx, band_hash) — one row per doc per LSH band."""
     sig = docs.select("doc_id", *_minhash_cols(n_hashes))
-    rows_per_band = n_hashes // bands
     return sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(_band_array(n_hashes, bands)).alias("band_idx", "band_hash"),
     )
 
 

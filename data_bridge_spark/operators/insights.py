@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.functions.exact import davg, dec_to_double, dfactor, dmoney, dsum
-from data_bridge_spark.operators.dedup import _bands_long, _minhash_sql_cols, _norm, _NORM_SQL
+from data_bridge_spark.operators.dedup import (
+    _band_array,
+    _minhash_cols,
+    _minhash_sql_cols,
+    _norm,
+    _NORM_SQL,
+)
 from data_bridge_spark.registry import register
 from data_bridge_spark.session import lineage_cut
 
@@ -568,20 +574,41 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the daily batch joins against the corpus's band/fingerprint
     INDEX (two equi-joins, shuffles sized by the new batch + index keys),
     never corpus x corpus. The old side projects to bare fp / band keys
-    before the join — the payload never moves."""
+    before the join — the payload never moves.
+
+    r12: one fenced per-doc feature pass. The old shape scanned
+    documents FOUR times (old/new x fp/bands), re-running the
+    normalize + tokenize + 16-minhash pipeline — by far the expensive
+    part — twice per doc. Now a single scan computes (doc_id, is_new,
+    fp, band array) once, the narrow table is fenced, and every branch
+    (old fp index, new fp probe, old band index, new band probe) is a
+    filter + projection of the fence. Band hashes come from the same
+    _band_array expression _bands_long explodes, so the keys are
+    bit-identical to the oracle's."""
     t = Tables(spark, sf_dir)
-    docs = t.documents
-    old = docs.filter(F.col("doc_id") % 5 != 4)
-    new = docs.filter(F.col("doc_id") % 5 == 4)
-    old_fp = old.select(F.md5(_norm(F.col("text"))).alias("fp")).distinct()
-    new_fp = new.select("doc_id", F.md5(_norm(F.col("text"))).alias("fp"))
+    feat = lineage_cut(
+        t.documents.select(
+            "doc_id",
+            (F.col("doc_id") % 5 == 4).alias("is_new"),
+            F.md5(_norm(F.col("text"))).alias("fp"),
+            *_minhash_cols(),
+        ).select("doc_id", "is_new", "fp", _band_array().alias("bands"))
+    )
+    old = feat.filter(~F.col("is_new"))
+    new = feat.filter(F.col("is_new"))
+    old_fp = old.select("fp").distinct()
+    new_fp = new.select("doc_id", "fp")
     exact = (
         new_fp.join(old_fp.withColumn("hit", F.lit(1)), "fp", "left")
         .select("doc_id", F.coalesce("hit", F.lit(0)).alias("exact_dup"))
     )
-    old_bands = _bands_long(old).select("band_idx", "band_hash").distinct()
+    old_bands = (
+        old.select(F.posexplode("bands").alias("band_idx", "band_hash"))
+        .select("band_idx", "band_hash")
+        .distinct()
+    )
     near = (
-        _bands_long(new)
+        new.select("doc_id", F.posexplode("bands").alias("band_idx", "band_hash"))
         .join(old_bands, ["band_idx", "band_hash"], "left_semi")
         .select("doc_id")
         .distinct()

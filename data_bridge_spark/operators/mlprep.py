@@ -288,23 +288,40 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             passed.alias("passed"),
         )
 
-    # r12: rowcount + null_custkey fold into ONE orders aggregate and
-    # unpivot to their two report rows (dq_expectations' one-scan
-    # doctrine) — orders is scanned twice (counts + orphan anti-join)
-    # instead of three times; values are byte-identical
-    both = orders.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.count_if(F.col("o_custkey").isNull()).alias("_nn"),
-    ).selectExpr(
-        "stack(2,"
-        " 'rowcount', CAST(_n AS LONG), _n > 0,"
-        " 'null_custkey', CAST(_nn AS LONG), _nn = 0"
-        ") AS (check_name, observed, passed)"
-    ).select(F.lit("orders").alias("tbl"), "check_name", "observed", "passed")
-    orphans_src = orders.join(
-        customer, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    # r12 (second pass): ALL THREE orders checks ride one fenced
+    # per-custkey count table — orders is scanned ONCE (was 3x before
+    # this round, 2x after the stack fold), and the orphan anti-join
+    # shuffles (key, n) pre-aggregated rows instead of raw orders rows
+    # (same shape as fk_integrity_audit's orders edge). NULL custkeys
+    # never match the anti-join condition, so they count as orphans —
+    # exactly the old row-level anti-join's semantics.
+    per_cust = lineage_cut(
+        orders.groupBy(F.col("o_custkey").alias("__ck")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
     )
-    orphans = row("orders", "orphan_orders", F.count(F.lit(1)), F.count(F.lit(1)) == 0, orphans_src)
+    zero = F.lit(0).cast("long")
+    tot = per_cust.agg(
+        F.coalesce(F.sum("__n"), zero).alias("_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__ck").isNull(), F.col("__n")).otherwise(F.lit(0))),
+            zero,
+        ).alias("_nn"),
+    )
+    orph = per_cust.join(
+        customer.select("c_custkey"), F.col("__ck") == F.col("c_custkey"), "left_anti"
+    ).agg(F.coalesce(F.sum("__n"), zero).alias("_no"))
+    both = (
+        tot.crossJoin(F.broadcast(orph))
+        .selectExpr(
+            "stack(3,"
+            " 'rowcount', CAST(_n AS LONG), _n > 0,"
+            " 'null_custkey', CAST(_nn AS LONG), _nn = 0,"
+            " 'orphan_orders', CAST(_no AS LONG), _no = 0"
+            ") AS (check_name, observed, passed)"
+        )
+        .select(F.lit("orders").alias("tbl"), "check_name", "observed", "passed")
+    )
     neg = row(
         "lineitem",
         "negative_price",
@@ -312,7 +329,7 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_extendedprice") < 0) == 0,
         lineitem,
     )
-    return both.unionByName(orphans).unionByName(neg)
+    return both.unionByName(neg)
 
 
 @register(
@@ -845,8 +862,11 @@ def mlprep_near_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the same LSH -> connected-components labels as dedup_clusters
     (`_lsh_cc_labels` — iterative min-label propagation, O(diameter)
-    rounds, per-round lineage cuts), then one count per label broadcast
-    back onto the doc-grain label table. weight = 1.0/n is one IEEE
+    rounds, per-round lineage cuts), then cluster_size =
+    `COUNT(*) OVER (PARTITION BY label)` — one exchange on label (r12;
+    the former groupBy+join-back sort-merged the label table against its
+    own aggregate: agg exchange + two join sorts for the same integer
+    count the window computes in one pass). weight = 1.0/n is one IEEE
     division of identical integers — bit-identical across engines. The
     oracle rides the same star-edge unrolled-CC CTE chain with the
     fixpoint witness (non-convergence poisons the compare rather than
@@ -855,8 +875,10 @@ def mlprep_near_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Tables(spark, sf_dir).documents
     labels = _lsh_cc_labels(docs)
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, "label").select(
+    return labels.select(
+        "doc_id",
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("cluster_size"),
+    ).select(
         "doc_id",
         "cluster_size",
         (F.lit(1.0) / F.col("cluster_size")).alias("weight"),

@@ -608,14 +608,17 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ivf").alias("method"), "probe_id", "cand_id")
     )
     m = lineage_cut(lsh.unionByName(ivf))
-    hits = m.join(brute, ["probe_id", "cand_id"]).groupBy("method").agg(
+    # r12: every join side here is bounded by construction (<= probes x k
+    # rows — the evaluation-sample contract), but post-fence Spark cannot
+    # estimate that and sort-merges; broadcast hints are safe at ANY scale
+    hits = m.join(F.broadcast(brute), ["probe_id", "cand_id"]).groupBy("method").agg(
         F.count(F.lit(1)).alias("n_hit")
     )
     counts = m.groupBy("method").agg(F.count(F.lit(1)).alias("n_method"))
     base = brute.agg(F.count(F.lit(1)).alias("n_exact"))
     return (
         counts.crossJoin(F.broadcast(base))
-        .join(hits, "method", "left")
+        .join(F.broadcast(hits), "method", "left")
         .select(
             "method",
             "n_exact",

@@ -601,6 +601,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .select("c_custkey")
+        # r12: the orders<->america_cust semi join sort-merged by default
+        # (post-join size is unestimable, and the region-filtered customer
+        # keys are NOT broadcastable at 100 TB — ~1/5 of a fact). The
+        # shuffle-hash hint keeps both exchanges but drops both sorts
+        # (guide §3.1); build side = the smaller per-partition key set.
+        .hint("shuffle_hash")
     )
     supp_nation = t.supplier.join(
         F.broadcast(

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
+from data_bridge_spark.session import lineage_cut
 from data_bridge_spark.registry import register
 
 _AS_OF = "2024-06-01"
@@ -168,13 +169,24 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-join map-side, so their counts fold into the same partial
     agg): the orderkey exchange then carries one 4-long row per distinct
     key instead of every lineitem row, the same below-join rewrite
-    flagship_report uses."""
+    flagship_report uses.
+
+    r12: the per-orderkey table is FENCED and consumed twice — the
+    totals scalar sums it directly (no join needed for n_child /
+    p_orph / s_orph), and the orders edge becomes a left ANTI join
+    whose output is only the orphan keys (normally ~none), so the
+    final aggregate reads ~0 rows instead of every orderkey. The anti
+    join is duplicate-safe, so the orders side needs no DISTINCT
+    aggregate at all — at 100 TB that removes a full hash aggregation
+    over the orders fact. Semantics are unchanged on ANY data (an anti
+    join never multiplies, unlike dropping the distinct from the old
+    left join). Isolated A/B at sf0.1 (noop, min of 3, twice):
+    2.09/1.56 s -> 0.72/0.75 s."""
     t = Tables(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
-    ok = t.orders.select(F.col("o_orderkey").alias("__ok")).distinct()
     pk = t.part.select(F.col("p_partkey").alias("__pk")).distinct()
     sk = t.supplier.select(F.col("s_suppkey").alias("__sk")).distinct()
-    per_key = (
+    per_key = lineage_cut(
         li.join(F.broadcast(pk), F.col("l_partkey") == F.col("__pk"), "left")
         .join(F.broadcast(sk), F.col("l_suppkey") == F.col("__sk"), "left")
         .groupBy("l_orderkey")
@@ -184,21 +196,21 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("__sk").isNull()).alias("__s_orph"),
         )
     )
+    # coalesce: SUM over an empty child is NULL, but the audit's
+    # contract (COUNT semantics, matching the oracle) is 0
     zero = F.lit(0).cast("long")
-    out = (
-        per_key.join(ok, F.col("l_orderkey") == F.col("__ok"), "left")
-        .agg(
-            # coalesce: SUM over an empty child is NULL, but the audit's
-            # contract (COUNT semantics, matching the oracle) is 0
-            F.coalesce(F.sum("__n"), zero).alias("n_child"),
-            F.coalesce(
-                F.sum(F.when(F.col("__ok").isNull(), F.col("__n")).otherwise(F.lit(0))),
-                zero,
-            ).alias("o_orph"),
-            F.coalesce(F.sum("__p_orph"), zero).alias("p_orph"),
-            F.coalesce(F.sum("__s_orph"), zero).alias("s_orph"),
-        )
-    ).selectExpr(
+    tot = per_key.agg(
+        F.coalesce(F.sum("__n"), zero).alias("n_child"),
+        F.coalesce(F.sum("__p_orph"), zero).alias("p_orph"),
+        F.coalesce(F.sum("__s_orph"), zero).alias("s_orph"),
+    )
+    orph = per_key.join(
+        t.orders.select(F.col("o_orderkey").alias("__ok")),
+        F.col("l_orderkey") == F.col("__ok"),
+        "left_anti",
+    ).agg(F.coalesce(F.sum("__n"), zero).alias("o_orph"))
+    # two 1-row scalars — the crossJoin is a broadcast scalar edge
+    out = tot.crossJoin(F.broadcast(orph)).selectExpr(
         """stack(3,
            'lineitem.l_orderkey->orders', n_child, o_orph,
            'lineitem.l_partkey->part', n_child, p_orph,
@@ -433,8 +445,6 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is O(versions-per-key), never an interval BNLJ. This is the
     standard PIT shape at any scale: facts shuffle once on the key,
     versions shuffle once on the key, nothing explodes."""
-    from data_bridge_spark.session import lineage_cut
-
     t = Tables(spark, sf_dir)
     # r12: base feeds three version branches (v1, changed, kept) — fence
     # the 3-column projection so customer is scanned once, not three times
