@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.registry import register
-from data_bridge_spark.session import lineage_cut
+from data_bridge_spark.session import plan_once
 
 # Word n-gram construction shared by the three operators: zip the token
 # array against its own shifted slices — pure array expressions, the
@@ -140,7 +140,7 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.filter(F.col("doc_id") < _BENCH_MAX_DOC)
         .select("shingle")
         .distinct()
-        .transform(lineage_cut)
+        .transform(plan_once)
     )
     lanes = (
         bench.select(
@@ -157,7 +157,7 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r12: the lane table feeds one broadcast build per probe
         # position (k of them) — fence it so the bitmap fold runs once,
         # not once per probe join; it is at most m/64 rows
-        .transform(lineage_cut)
+        .transform(plan_once)
     )
     cand = tri.filter(F.col("doc_id") >= _BENCH_MAX_DOC)
     for i in range(_BLOOM_K):
@@ -512,7 +512,7 @@ def text_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition): the same bytes move through one exchange, every
     # duplicate lands in its doc's partition, and per-doc skew is bounded
     # by max document length. Measured 1.29 s → 0.64 s at sf0.1.
-    corpus = lineage_cut(
+    corpus = plan_once(
         tri.filter(F.col("doc_id") >= _BENCH_MAX_DOC)
         .repartition("doc_id")
         .dropDuplicates(["doc_id", "shingle"])
@@ -617,7 +617,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: tri feeds first_seen and the flagging join — fence the distinct
     # doc-trigram grain so the tokenize+explode+dedup shuffle runs once
     # (same policy as text_boilerplate / text_contamination_spans)
-    tri = lineage_cut(
+    tri = plan_once(
         t.documents.select(
             "doc_id", F.explode(_ngrams(_words(F.col("text")), 3)).alias("shingle")
         ).distinct()

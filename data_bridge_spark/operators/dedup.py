@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.registry import register
-from data_bridge_spark.session import lineage_cut
+from data_bridge_spark.session import lineage_cut, plan_once
 
 # shared normalization: lowercase, collapse whitespace, trim.
 def _norm(col: F.Column) -> F.Column:
@@ -242,7 +242,7 @@ def lsh_candidate_pairs(
             F.count(F.lit(1)).over(w).alias("bsz"),
             F.min("doc_id").over(w).alias("bmin"),
         )
-        .transform(lineage_cut)
+        .transform(plan_once)
     )
     small = sized.filter(F.col("bsz") <= cap)
     members = small.groupBy("band_idx", "band_hash").agg(

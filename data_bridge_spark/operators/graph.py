@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.operators.dedup import _bands_sql, _pairs_sql, lsh_candidate_pairs
 from data_bridge_spark.registry import register
-from data_bridge_spark.session import lineage_cut
+from data_bridge_spark.session import lineage_cut, plan_once
 
 _SCALE = 1_000_000_000  # rank fixed-point unit
 _ITERS = 3
@@ -183,7 +183,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         lsh_candidate_pairs(docs.filter(F.col("doc_id") < 100))
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .transform(lineage_cut)
+        .transform(plan_once)
     )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
@@ -259,7 +259,7 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(lineage_cut)
+    ).transform(plan_once)
     dist = t.documents.filter(F.col("doc_id") < _BFS_SEED_MAX).select(
         "doc_id", F.lit(0).cast("long").alias("dist")
     )

@@ -27,7 +27,7 @@ from data_bridge_spark.operators.dedup import (
     _NORM_SQL,
 )
 from data_bridge_spark.registry import register
-from data_bridge_spark.session import lineage_cut
+from data_bridge_spark.session import plan_once
 
 _CUT = "1997-07-01 00:00:00"  # Q3-style split date (mid-range of o_orderdate)
 
@@ -230,7 +230,7 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (part_a < part_b) pair multiset the join produced — one orderkey
     # exchange instead of two join-side exchanges plus their sorts.
     items = t.lineitem.select("l_orderkey", "l_partkey").distinct().transform(
-        lineage_cut
+        plan_once
     )
     sized = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("b_size"))
     kept = sized.filter(F.col("b_size") <= _MAX_BASKET).select("l_orderkey")
@@ -586,7 +586,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     _band_array expression _bands_long explodes, so the keys are
     bit-identical to the oracle's."""
     t = Tables(spark, sf_dir)
-    feat = lineage_cut(
+    feat = plan_once(
         t.documents.select(
             "doc_id",
             (F.col("doc_id") % 5 == 4).alias("is_new"),
@@ -774,7 +774,7 @@ def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_v = s.groupBy("v").agg(
         F.sum("is_a").alias("na_v"), F.sum(1 - F.col("is_a")).alias("nb_v")
-    ).transform(lineage_cut)
+    ).transform(plan_once)
     tot = per_v.agg(
         F.sum("na_v").cast("double").alias("na"),
         F.sum("nb_v").cast("double").alias("nb"),
@@ -859,7 +859,7 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
-        .transform(lineage_cut)
+        .transform(plan_once)
     )
     tot = counts.agg(F.sum("n").cast("double").alias("total"))
     benford = F.create_map(
@@ -920,7 +920,7 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so lineitem is scanned and count-shuffled once, not twice
     k = t.lineitem.groupBy(F.col("l_orderkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
-    ).transform(lineage_cut)
+    ).transform(plan_once)
     tot = k.agg(
         F.sum("n").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("n_keys"),
@@ -996,7 +996,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = t.orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
-    vals = spend.groupBy("x").agg(F.count(F.lit(1)).alias("c")).transform(lineage_cut)
+    vals = spend.groupBy("x").agg(F.count(F.lit(1)).alias("c")).transform(plan_once)
     ranked = _bucketed_prefix_sums(
         vals, "x", ("c",), n_buckets=_GINI_BUCKETS, inclusive=False
     ).withColumnRenamed("run_c", "r")
@@ -1116,7 +1116,7 @@ def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").alias("na_v"),
         F.sum(1 - F.col("is_a")).alias("nb_v"),
         F.count(F.lit(1)).alias("tot_v"),
-    ).transform(lineage_cut)
+    ).transform(plan_once)
     run = _bucketed_prefix_sums(per_v, "v", ("tot_v",)).withColumn(
         "before_v", F.col("run_tot_v") - F.col("tot_v")
     )

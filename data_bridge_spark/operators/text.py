@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.registry import register
-from data_bridge_spark.session import lineage_cut
+from data_bridge_spark.session import plan_once
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 _SW_SQL = "', '".join(_STOPWORDS)
@@ -369,7 +369,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan+tokenize+explode runs once, same pattern as the LSH band
         # table (dedup.py); at cluster scale this becomes a persisted
         # signature/pair table (SCALE.md)
-        .transform(lineage_cut)
+        .transform(plan_once)
     )
     cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     # r12: P(w2|w1) denominator via a window over the count table (one
@@ -471,7 +471,7 @@ def text_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count shuffle (the only data-sized exchange in the query) from
     # scratch. Fence it once; it is vocabulary-bounded per source.
     ts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_ts")).transform(
-        lineage_cut
+        plan_once
     )
     s = ts.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
     tm = ts.groupBy("term").agg(F.sum("n_ts").alias("n_t"))
@@ -551,7 +551,7 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct shuffle runs once instead of three times.
     tri = t.documents.select(
         "doc_id", "source", F.explode(_ngrams(_words(F.col("text")), 3)).alias("shingle")
-    ).distinct().transform(lineage_cut)
+    ).distinct().transform(plan_once)
     common = (
         tri.groupBy("source", "shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.functions.exact import dec, dec_to_double, dfactor, dmoney
 from data_bridge_spark.registry import register
-from data_bridge_spark.session import lineage_cut
+from data_bridge_spark.session import plan_once
 
 # shared oracle fragment: the exact-decimal discounted-revenue sum,
 # collapsed to scale 6 (inputs carry <= 4 real decimals) before the
@@ -739,7 +739,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(_rev().alias("total_rev"))
-        .transform(lineage_cut)
+        .transform(plan_once)
     )
     mx = srev.agg(F.max("total_rev").alias("mx"))
     return (
@@ -1056,7 +1056,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(dmoney("l_extendedprice")).cast("decimal(28,4)").alias("value_d"))
-        .transform(lineage_cut)
+        .transform(plan_once)
     )
     total = grouped.agg(
         F.sum("value_d").cast("decimal(28,4)").alias("total_d"),

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
-from data_bridge_spark.session import lineage_cut
+from data_bridge_spark.session import plan_once
 from data_bridge_spark.registry import register
 
 _AS_OF = "2024-06-01"
@@ -186,7 +186,7 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
     pk = t.part.select(F.col("p_partkey").alias("__pk")).distinct()
     sk = t.supplier.select(F.col("s_suppkey").alias("__sk")).distinct()
-    per_key = lineage_cut(
+    per_key = plan_once(
         li.join(F.broadcast(pk), F.col("l_partkey") == F.col("__pk"), "left")
         .join(F.broadcast(sk), F.col("l_suppkey") == F.col("__sk"), "left")
         .groupBy("l_orderkey")
@@ -448,7 +448,7 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     # r12: base feeds three version branches (v1, changed, kept) — fence
     # the 3-column projection so customer is scanned once, not three times
-    base = lineage_cut(t.customer.select("c_custkey", "c_mktsegment", "c_acctbal"))
+    base = plan_once(t.customer.select("c_custkey", "c_mktsegment", "c_acctbal"))
     split = F.lit(_PIT_SPLIT).cast("date")
     openend = F.lit("9999-12-31").cast("date")
     v1 = base.select(

@@ -21,7 +21,7 @@ import sys
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark", "lineage_cut"]
+__all__ = ["get_spark", "stop_spark", "lineage_cut", "plan_once"]
 
 
 def _scratch_dir() -> str:
@@ -135,6 +135,11 @@ def drop_dead_blocks(spark: SparkSession) -> None:
     JVM mid-run (an r5 sweep saw a 12 s query stall 80+ minutes). One
     shared implementation for every driver tool."""
     try:
+        # clearCache first: plan_once fences register in the CacheManager
+        # (keyed by canonicalized plan), and a later invocation of the
+        # same query would otherwise MATCH the previous sample's entry —
+        # every timed sample must recompute from the parquet inputs.
+        spark.catalog.clearCache()
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist(True)
     except Exception:
@@ -168,3 +173,44 @@ def lineage_cut(df, eager: bool = False):
         spark.sparkContext.setCheckpointDir(ckpt)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def plan_once(df):
+    """Multi-consumer EXECUTION fence: ``persist()`` so a subtree consumed
+    by several branches computes once per action instead of once per
+    consumer — same dedup job ``lineage_cut`` does, WITHOUT its build-time
+    cost or fault-intolerance:
+
+    - ``localCheckpoint(eager=False)`` physically PLANS its subtree at
+      DataFrame-construction time (Dataset.localCheckpoint materializes
+      queryExecution.toRdd), so every fence charges full analysis+planning
+      to the driver before any action runs. Measured across the 12
+      heaviest-build headline queries at sf0.1: driver build 14.7 s with
+      localCheckpoint fences vs 5.2 s with persist fences, identical
+      results (r12).
+    - persist keeps lineage: losing an executor recomputes (correct,
+      slower) instead of failing the query, and no checkpoint dir is
+      needed at cluster scale. Storage class is the same
+      MEMORY_AND_DISK family localCheckpoint uses.
+
+    Use ``lineage_cut`` ONLY where the plan itself must be truncated —
+    iterative loops (CC label propagation, PageRank, BFS) whose logical
+    plan would otherwise grow without bound. Multi-query drivers must
+    drop caches between queries (``drop_dead_blocks``) so no sample ever
+    reads a previous invocation's blocks.
+
+    The cluster durability knob is honored identically to lineage_cut:
+    with ``spark.databridge.checkpointDir`` / ``DBS_CHECKPOINT_DIR`` set,
+    every fence becomes a durable reliable ``checkpoint()`` (the contract
+    tests/test_checkpointing.py pins); unset (local runs, the bench), the
+    fence is the zero-build-cost persist."""
+    spark = df.sparkSession
+    try:
+        ckpt = spark.conf.get("spark.databridge.checkpointDir", None)
+    except Exception:
+        ckpt = None
+    ckpt = ckpt or os.environ.get("DBS_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
+        return df.checkpoint(eager=False)
+    return df.persist()
