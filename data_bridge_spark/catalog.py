@@ -69,6 +69,34 @@ def normalize_event_ts(df: DataFrame, as_ntz: bool = True) -> DataFrame:
 _WIDEN_MIN_BYTES = 150 * 1024
 _WIDEN_MAX_BYTES = 2 * 1024**3
 
+# r12 (optimization): the widen hash-partitions on each table's primary
+# key instead of round-robin. A keyless repartition(n) costs an extra
+# LOCAL SORT of its entire input inside the (single) scan task
+# (spark.sql.execution.sortBeforeRepartition, on by default so retried
+# tasks reproduce their row-to-partition assignment — a hash key is
+# deterministic by construction, so it needs no such sort), and its
+# RoundRobinPartitioning can never satisfy a downstream distribution
+# requirement. HashPartitioning(pk, n) satisfies ClusteredDistribution
+# for every aggregation/join keyed on the pk — EnsureRequirements then
+# inserts NO exchange for the first keyed operation on the table (the
+# measured flagship_report plan: scan→widen→agg→join ran 2 exchanges on
+# lineitem before, 1 after). The keys are the near-unique primary keys,
+# so the hash spreads uniformly (guide §2.5: use keys with far more
+# distinct values than partitions). Skew on a real deployment is not a
+# concern here — the widen never fires there.
+_WIDEN_KEYS = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+}
+
 
 class Tables:
     """Lazy accessor: ``Tables(spark, sf_dir).lineitem`` → DataFrame plan.
@@ -107,7 +135,15 @@ class Tables:
                 except OSError:
                     size = 0
                 if _WIDEN_MIN_BYTES <= size <= _WIDEN_MAX_BYTES:
-                    df = df.repartition(self.spark.sparkContext.defaultParallelism)
+                    if os.environ.get("DBS_WIDEN_RR") == "1":
+                        df = df.repartition(
+                            self.spark.sparkContext.defaultParallelism
+                        )
+                    else:
+                        df = df.repartition(
+                            self.spark.sparkContext.defaultParallelism,
+                            _WIDEN_KEYS[name],
+                        )
             self._cache[name] = df
         return self._cache[name]
 

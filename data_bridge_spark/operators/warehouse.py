@@ -217,7 +217,30 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            'lineitem.l_suppkey->supplier', n_child, s_orph
         ) AS (edge, n_child, n_orphans)"""
     )
-    for label, child, ckey, parent, pkey in _FK_EDGES[3:]:
+    # r12 (optimization): orders->customer is the one remaining edge with
+    # a fact-scale parent, and its left-join-against-DISTINCT-keys form
+    # pays a full hash aggregation + exchange over customer just to make
+    # the join 1:<=1. The anti-join form needs no DISTINCT at all (an
+    # anti join never multiplies): n_child is a bare COUNT(*) of orders
+    # (empty ReadSchema scan) and n_orphans counts the anti-join
+    # survivors (~none). NULL custkeys count as orphans in both forms —
+    # a NULL key can never satisfy the join condition. Same rewrite the
+    # lineitem->orders edge got earlier this round; semantics match the
+    # oracle's NOT EXISTS on ANY data, not just duplicate-free parents.
+    label0, child0, ckey0, parent0, pkey0 = _FK_EDGES[3]
+    o_child = getattr(t, child0).select(F.col(ckey0).alias("__ck"))
+    n_child0 = o_child.agg(F.count(F.lit(1)).alias("n_child"))
+    n_orph0 = o_child.join(
+        getattr(t, parent0).select(F.col(pkey0).alias("__pk")),
+        F.col("__ck") == F.col("__pk"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    out = out.unionByName(
+        n_child0.crossJoin(F.broadcast(n_orph0)).select(
+            F.lit(label0).alias("edge"), "n_child", "n_orphans"
+        )
+    )
+    for label, child, ckey, parent, pkey in _FK_EDGES[4:]:
         parent_keys = (
             getattr(t, parent).select(F.col(pkey).alias("__pk")).distinct()
         )
