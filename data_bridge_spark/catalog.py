@@ -98,6 +98,20 @@ _WIDEN_KEYS = {
 }
 
 
+# r12 (optimization): per-session cache of the RAW spark.read.parquet
+# plans. Each registered query's fn() constructs a fresh Tables, and
+# every read.parquet call costs a driver round trip that reads the file
+# footer for schema inference — profiled at ~0.1 s per table per query
+# BUILD (fk_integrity_audit: 7 tables, ~0.7 s of its 0.9 s build; the
+# bench builds each query 2-4 times). A DataFrame is an immutable plan,
+# so the un-widened read is shared across Tables instances of the same
+# session; the widen (env-dependent) and per-instance cache stay
+# per-Tables. Keyed by the live SparkSession object — a restarted
+# session is a new object and gets fresh reads; entries die with the
+# process (bounded: #sessions x #tables lazy plans).
+_RAW_READS: dict[int, tuple[object, dict[str, DataFrame]]] = {}
+
+
 class Tables:
     """Lazy accessor: ``Tables(spark, sf_dir).lineitem`` → DataFrame plan.
 
@@ -119,16 +133,26 @@ class Tables:
         # naive-timestamp parquet columns. Both are runtime-settable.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        key = id(spark)
+        hit = _RAW_READS.get(key)
+        # the guard object detects id() reuse after a session is GC'd:
+        # the stored weak-style sentinel is the session itself
+        if hit is None or hit[0] is not spark:
+            _RAW_READS[key] = (spark, {})
+        self._raw = _RAW_READS[key][1]
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLE_NAMES:
             raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
         if name not in self._cache:
             path = os.path.join(self.sf_dir, f"{name}.parquet")
-            if name == "events":
-                df = self._read_events(path)
-            else:
-                df = self.spark.read.parquet(path)
+            df = self._raw.get(path)
+            if df is None:
+                if name == "events":
+                    df = self._read_events(path)
+                else:
+                    df = self.spark.read.parquet(path)
+                self._raw[path] = df
             if self.widen:
                 try:
                     size = os.path.getsize(path)
