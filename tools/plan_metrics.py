@@ -68,21 +68,28 @@ def main() -> None:
                 out.write(json.dumps({"name": name, "error": str(e)[:200]}) + "\n")
                 out.flush()
                 continue
-            # operator list = lines like "* Name (3)" / "+- Name (4)" before details
-            oplist = []
+            # operator list = lines like "* Name (3)" / "+- Name (4)" before
+            # details. Deduped by node id (r12): a persist fence's subtree is
+            # PRINTED once per consumer (same node numbers each time) but
+            # executes once — line-occurrence counting overstated fenced plans
+            # by the consumer count.
+            seen: dict[int, str] = {}
             for line in plan.splitlines():
-                m = re.match(r"^[\s:+*-]*([A-Za-z][A-Za-z0-9 ]*?)(?: [a-z].*)? \(\d+\)\s*$", line)
+                m = re.match(
+                    r"^[\s:+*-]*([A-Za-z][A-Za-z0-9 ]*?)(?: [a-z].*)? \((\d+)\)\s*$",
+                    line,
+                )
                 if m:
-                    oplist.append(line)
+                    seen.setdefault(int(m.group(2)), line)
                 elif line.startswith("("):  # details section starts
                     break
-            ops = "\n".join(oplist)
+            ops = "\n".join(seen.values())
             rec: dict[str, object] = {"name": name, "plan_build_s": round(time.perf_counter() - t0, 2)}
             for node in NODES:
                 c = len(re.findall(rf"\b{re.escape(node)}\b", ops))
                 if c:
                     rec[node] = c
-            rec["n_ops"] = len(oplist)
+            rec["n_ops"] = len(seen)
             out.write(json.dumps(rec) + "\n")
             out.flush()
             drop_dead_blocks(spark)
