@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.registry import register
 
-_CTE_SQL = """
+_CTE_BODY = """
     WITH customer_totals AS (
         SELECT o_custkey,
                COUNT(*) AS n_orders,
@@ -23,34 +23,42 @@ _CTE_SQL = """
     segment_stats AS (
         SELECT c.c_mktsegment,
                COUNT(*) AS n_customers,
-               CAST(SUM(t.total_spent) AS DECIMAL(38,6)) AS segment_revenue
+               {revenue} AS segment_revenue
         FROM customer c
         JOIN customer_totals t ON c.c_custkey = t.o_custkey
         GROUP BY c.c_mktsegment
     )
     SELECT * FROM segment_stats
 """
-# Exact DECIMAL end to end — no float anywhere (r10). The original text
-# had two engine-specific rounding seams the sf10 sweep exposed (spark
-# ...297.0 vs duckdb ...296.9999 once a segment held 1.5M customers):
-# (1) the per-customer sum was cast to DOUBLE and back to DECIMAL(18,6)
-# inside the outer SUM — double->decimal guard-digit rounding differs
-# between engines; (2) even with an exact interior, the terminal
-# decimal->DOUBLE cast rounds differently when the exact sum lands near
-# a float64 representability midpoint at 7.6e11 magnitudes (double
-# spacing there is ~1.2e-4). Revenue is money: emit DECIMAL(38,6) and
-# let the caller choose a lossy cast (functions/exact.py doctrine).
+# The interior stays exact DECIMAL (r10: no double->decimal->double seam
+# inside the aggregation tree — integer arithmetic, any addition order).
+# The TERMINAL value is collapsed to DOUBLE with the functions/exact.py
+# doctrine (r13): emitting raw DECIMAL(38,6) made sql_cte the only query
+# whose output type diverges in the driver's hash normalization (a
+# collected Spark Decimal('...970000') vs a DuckDB fetch that transits
+# float64 — CORRECTNESS_r12 49/50). The collapse uses the proven
+# engine-identical pairing from sql_pivot / dsum: Spark spells the
+# conversion in DuckDB's own unscaled/divide form (one rounding of the
+# unscaled integer, one IEEE division — bit-identical to DuckDB's native
+# CAST(decimal AS DOUBLE) at ANY magnitude, including past the 2^53
+# unscaled boundary the sf10 sweep crossed), while the oracle text keeps
+# the native cast.
+_CTE_SQL = _CTE_BODY.format(
+    revenue="CAST(CAST(SUM(t.total_spent) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0"
+)
+_CTE_ORACLE = _CTE_BODY.format(revenue="CAST(SUM(t.total_spent) AS DOUBLE)")
 
 
 @register(
     "sql_cte",
-    oracle=_CTE_SQL,
+    oracle=_CTE_ORACLE,
     tags=("sql",),
 )
 def sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-CTE query through the SQL front end — identical text runs on
-    Spark and the oracle; Catalyst plans it exactly like the DataFrame
-    form (one shuffle per aggregation, join in between)."""
+    """Multi-CTE query through the SQL front end — the same text modulo
+    the decimal->double spelling runs on Spark and the oracle; Catalyst
+    plans it exactly like the DataFrame form (one shuffle per
+    aggregation, join in between)."""
     Tables(spark, sf_dir).view("orders", "customer")
     return spark.sql(_CTE_SQL)
 

@@ -54,18 +54,39 @@ ALLOW: dict[str, str] = {
 }
 
 
-# one physical-plan build per query, shared by both parametrized audits
+# one physical-plan build per query, shared by all parametrized audits
 # (several operators run real Spark jobs at plan-BUILD time — k-means /
 # pivot-discovery collect edges — so building 234 plans twice is minutes)
-_PLAN_CACHE: dict[str, str] = {}
+_PLAN_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _build(spark, sf_dir, name: str) -> tuple[str, str]:
+    if name not in _PLAN_CACHE:
+        df = REG[name].fn(spark, sf_dir)
+        _PLAN_CACHE[name] = (
+            df._jdf.queryExecution().sparkPlan().toString(),
+            df.schema.simpleString(),
+        )
+    return _PLAN_CACHE[name]
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    if name not in _PLAN_CACHE:
-        _PLAN_CACHE[name] = (
-            REG[name].fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
-        )
-    return _PLAN_CACHE[name]
+    return _build(spark, sf_dir, name)[0]
+
+
+@pytest.mark.parametrize("name", sorted(REG))
+def test_output_schema_has_no_decimal(spark, sf_dir, name):
+    """Declared queries must never emit DecimalType: the driver's value
+    hash normalizes a collected Spark Decimal and a DuckDB fetch that
+    transits float64 differently, so a raw-decimal output diverges even
+    when the values are exactly equal (sql_cte, CORRECTNESS_r12 49/50).
+    Doctrine (functions/exact.py): aggregate exactly in decimal, collapse
+    the TERMINAL value to double with dec_to_double / its SQL spelling."""
+    schema = _build(spark, sf_dir, name)[1]
+    assert "decimal" not in schema, (
+        f"{name} emits DecimalType ({schema[:200]}) — collapse to double "
+        f"via functions/exact.py dec_to_double before returning"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(REG))
