@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.registry import register
-from data_bridge_spark.session import plan_once
+from data_bridge_spark.session import lineage_cut, plan_once
 
 # Word n-gram construction shared by the three operators: zip the token
 # array against its own shifted slices — pure array expressions, the
@@ -136,11 +136,20 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = t.documents.select(
         "doc_id", F.explode(_ngrams(_words(F.col("text")), 3)).alias("shingle")
     )
+    # r13: reverted to the r11 fence shape — lineage_cut bench, NO lane
+    # fence. The driver's r12 bench was right that the r12 fences
+    # regressed this query: the interleaved mechanism A/B
+    # (tools/ab_bloom_fences.py, min-of-8 one process) measures r11
+    # 0.69/0.84 s (min/median) vs the r12 persist+lanes shape
+    # 1.01/1.29 s — the columnar persist cache pays a conversion on
+    # every broadcast-build read that raw checkpoint blocks don't, and
+    # the m/64-row lane fold is cheaper to recompute per probe than to
+    # cache.
     bench = (
         tri.filter(F.col("doc_id") < _BENCH_MAX_DOC)
         .select("shingle")
         .distinct()
-        .transform(plan_once)
+        .transform(lineage_cut)
     )
     lanes = (
         bench.select(
@@ -154,10 +163,6 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
-        # r12: the lane table feeds one broadcast build per probe
-        # position (k of them) — fence it so the bitmap fold runs once,
-        # not once per probe join; it is at most m/64 rows
-        .transform(plan_once)
     )
     cand = tri.filter(F.col("doc_id") >= _BENCH_MAX_DOC)
     for i in range(_BLOOM_K):

@@ -252,7 +252,12 @@ def lsh_candidate_pairs(
             F.count(F.lit(1)).over(w).alias("bsz"),
             F.min("doc_id").over(w).alias("bmin"),
         )
-        .transform(plan_once)
+        # r13: lineage_cut, not plan_once — interleaved A/B (min-of-6,
+        # one process, tools/ab_fence_mechanism.py) has the raw-block
+        # localCheckpoint fence 1.11-1.13x faster here than the columnar
+        # persist cache; the band table's consumers re-read it whole, so
+        # the cache's column-batch encode/decode is pure overhead.
+        .transform(lineage_cut)
     )
     small = sized.filter(F.col("bsz") <= cap)
     members = small.groupBy("band_idx", "band_hash").agg(

@@ -27,7 +27,7 @@ from data_bridge_spark.operators.dedup import (
     _NORM_SQL,
 )
 from data_bridge_spark.registry import register
-from data_bridge_spark.session import plan_once
+from data_bridge_spark.session import lineage_cut, plan_once
 
 _CUT = "1997-07-01 00:00:00"  # Q3-style split date (mid-range of o_orderdate)
 
@@ -772,9 +772,13 @@ def stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
         F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("is_a"),
     )
+    # r13: prefix-sum family fences are lineage_cut — the interleaved
+    # mechanism A/B (tools/ab_fence_mechanism.py) measured the raw-block
+    # checkpoint 1.13-1.20x over the columnar persist cache on
+    # stats_mannwhitney / feature_quantile_bucket (same machinery)
     per_v = s.groupBy("v").agg(
         F.sum("is_a").alias("na_v"), F.sum(1 - F.col("is_a")).alias("nb_v")
-    ).transform(plan_once)
+    ).transform(lineage_cut)
     tot = per_v.agg(
         F.sum("na_v").cast("double").alias("na"),
         F.sum("nb_v").cast("double").alias("nb"),
@@ -996,7 +1000,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = t.orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
-    vals = spend.groupBy("x").agg(F.count(F.lit(1)).alias("c")).transform(plan_once)
+    vals = spend.groupBy("x").agg(F.count(F.lit(1)).alias("c")).transform(lineage_cut)
     ranked = _bucketed_prefix_sums(
         vals, "x", ("c",), n_buckets=_GINI_BUCKETS, inclusive=False
     ).withColumnRenamed("run_c", "r")
@@ -1116,7 +1120,7 @@ def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").alias("na_v"),
         F.sum(1 - F.col("is_a")).alias("nb_v"),
         F.count(F.lit(1)).alias("tot_v"),
-    ).transform(plan_once)
+    ).transform(lineage_cut)
     run = _bucketed_prefix_sums(per_v, "v", ("tot_v",)).withColumn(
         "before_v", F.col("run_tot_v") - F.col("tot_v")
     )

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from data_bridge_spark.catalog import Tables
 from data_bridge_spark.functions.exact import dec, dec_to_double, dfactor, dmoney
 from data_bridge_spark.registry import register
-from data_bridge_spark.session import plan_once
+from data_bridge_spark.session import lineage_cut, plan_once
 
 # shared oracle fragment: the exact-decimal discounted-revenue sum,
 # collapsed to scale 6 (inputs carry <= 4 real decimals) before the
@@ -1056,7 +1056,9 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(dmoney("l_extendedprice")).cast("decimal(28,4)").alias("value_d"))
-        .transform(plan_once)
+        # r13: lineage_cut fence — interleaved mechanism A/B 1.28x over
+        # the persist cache for q11 (tools/ab_fence_mechanism.py)
+        .transform(lineage_cut)
     )
     total = grouped.agg(
         F.sum("value_d").cast("decimal(28,4)").alias("total_d"),

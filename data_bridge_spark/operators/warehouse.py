@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_bridge_spark.catalog import Tables
-from data_bridge_spark.session import plan_once
+from data_bridge_spark.session import lineage_cut, plan_once
 from data_bridge_spark.registry import register
 
 _AS_OF = "2024-06-01"
@@ -186,7 +186,9 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
     pk = t.part.select(F.col("p_partkey").alias("__pk")).distinct()
     sk = t.supplier.select(F.col("s_suppkey").alias("__sk")).distinct()
-    per_key = plan_once(
+    # r13: lineage_cut fence — interleaved mechanism A/B 1.11-1.13x over
+    # the persist cache for this query (tools/ab_fence_mechanism.py)
+    per_key = lineage_cut(
         li.join(F.broadcast(pk), F.col("l_partkey") == F.col("__pk"), "left")
         .join(F.broadcast(sk), F.col("l_suppkey") == F.col("__sk"), "left")
         .groupBy("l_orderkey")
