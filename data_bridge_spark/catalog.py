@@ -9,6 +9,7 @@ pruning and predicate pushdown opportunities across the whole query.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -66,8 +67,21 @@ def normalize_event_ts(df: DataFrame, as_ntz: bool = True) -> DataFrame:
 # an explicit repartition to cluster width. On a real deployment (files
 # with many row groups / many files) the scan is already wider than the
 # core count and the widen never fires.
+#
+# r13: MAX tightened 2 GB -> 16 MB on direct interleaved evidence
+# (tools/ab_widen.py, DBS_NO_WIDEN flipped between samples in one
+# process). The widen trades one full-table exchange for parallelism of
+# the scan-stage work; that trade inverts as the table grows — shipping
+# every row costs more than the serial partial work it parallelizes.
+# Measured: at sf0.1 (largest file 10.8 MB) widen-on wins 10.11->9.25 s
+# over the 10-query probe set; at sf1 (lineitem 184 MB, orders 30 MB,
+# events 21 MB) widen-on LOSES 16.36->18.55 s, with the losses exactly
+# on the >16 MB tables (agg_report 0.71x, window_rank 0.68x,
+# fk 0.88x). 16 MB keeps every sf0.1 file inside the band (driver bench
+# behavior unchanged) and stops the mechanism where the decade of
+# measurement says it hurts.
 _WIDEN_MIN_BYTES = 150 * 1024
-_WIDEN_MAX_BYTES = 2 * 1024**3
+_WIDEN_MAX_BYTES = 16 * 1024**2
 
 # r12 (optimization): the widen hash-partitions on each table's primary
 # key instead of round-robin. A keyless repartition(n) costs an extra
@@ -97,6 +111,11 @@ _WIDEN_KEYS = {
     "region": "r_regionkey",
 }
 
+# Which tables the widen may fire on (within the size band). Kept as a
+# module-level set so policy experiments can patch it per sample
+# (tools/ab_widen_policy.py); default = every table, the r12 behavior.
+_WIDEN_TABLES = frozenset(_WIDEN_KEYS)
+
 
 # r12 (optimization): per-session cache of the RAW spark.read.parquet
 # plans. Each registered query's fn() constructs a fresh Tables, and
@@ -108,8 +127,13 @@ _WIDEN_KEYS = {
 # session; the widen (env-dependent) and per-instance cache stay
 # per-Tables. Keyed by the live SparkSession object — a restarted
 # session is a new object and gets fresh reads; entries die with the
-# process (bounded: #sessions x #tables lazy plans).
-_RAW_READS: dict[int, tuple[object, dict[str, DataFrame]]] = {}
+# process (bounded: #sessions x #tables lazy plans). r13 (ADVICE): the
+# guard is a weakref so a stopped+collected session's cached plans are
+# reclaimable (a strong ref pinned them for process lifetime and made
+# the id()-reuse branch dead code), and entries are keyed by
+# (path, mtime_ns, size) so a parquet file regenerated in place gets a
+# fresh plan instead of a stale schema.
+_RAW_READS: dict[int, tuple[object, dict[tuple, DataFrame]]] = {}
 
 
 class Tables:
@@ -133,12 +157,18 @@ class Tables:
         # naive-timestamp parquet columns. Both are runtime-settable.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # r13 (ADVICE): the dedup minhash expressions parse '\\s+' via
+        # F.expr string literals — with the legacy escapedStringLiterals
+        # conf enabled the pattern silently becomes a literal
+        # backslash-s match and every fingerprint changes. Pin it false
+        # (the default) alongside the other correctness-critical confs.
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
         key = id(spark)
         hit = _RAW_READS.get(key)
-        # the guard object detects id() reuse after a session is GC'd:
-        # the stored weak-style sentinel is the session itself
-        if hit is None or hit[0] is not spark:
-            _RAW_READS[key] = (spark, {})
+        # the guard detects id() reuse after a session is GC'd: a
+        # weakref sentinel — dead session ⇒ ref() is None ⇒ fresh entry
+        if hit is None or hit[0]() is not spark:
+            _RAW_READS[key] = (weakref.ref(spark), {})
         self._raw = _RAW_READS[key][1]
 
     def table(self, name: str) -> DataFrame:
@@ -146,14 +176,19 @@ class Tables:
             raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
         if name not in self._cache:
             path = os.path.join(self.sf_dir, f"{name}.parquet")
-            df = self._raw.get(path)
+            try:
+                st = os.stat(path)
+                raw_key = (path, st.st_mtime_ns, st.st_size)
+            except OSError:
+                raw_key = (path, 0, 0)
+            df = self._raw.get(raw_key)
             if df is None:
                 if name == "events":
                     df = self._read_events(path)
                 else:
                     df = self.spark.read.parquet(path)
-                self._raw[path] = df
-            if self.widen:
+                self._raw[raw_key] = df
+            if self.widen and name in _WIDEN_TABLES:
                 try:
                     size = os.path.getsize(path)
                 except OSError:

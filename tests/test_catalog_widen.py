@@ -40,6 +40,21 @@ def test_no_widen_escape_hatch(spark, monkeypatch):
     assert "RoundRobinPartitioning" not in plan
 
 
+def test_widen_max_gate_excludes_large_files(spark, monkeypatch):
+    """r13: files past 16 MB scan wide enough on their own that the
+    widen's full-table exchange is a measured net loss (sf1 interleaved
+    A/B, tools/ab_widen.py) — the gate must not fire on them."""
+    import os as _os
+
+    real_getsize = _os.path.getsize
+    monkeypatch.setattr(
+        "os.path.getsize", lambda p: 32 * 1024**2 if p.endswith("lineitem.parquet") else real_getsize(p)
+    )
+    plan = plan_string(Tables(spark, SF_WIDEN).lineitem)
+    assert "hashpartitioning" not in plan
+    assert "RoundRobinPartitioning" not in plan
+
+
 def test_keyed_aggregation_reuses_widen_exchange(spark):
     """groupBy on the widen key must not add a second exchange: the
     widen's HashPartitioning(pk, n) satisfies the aggregation's
@@ -62,8 +77,13 @@ def test_raw_read_cached_per_session(spark):
     t2 = Tables(spark, SF_WIDEN)
     t1.orders, t2.orders  # force both reads
     path = os.path.join(SF_WIDEN, "orders.parquet")
-    raw = _RAW_READS[id(spark)][1]
-    assert path in raw
+    guard, raw = _RAW_READS[id(spark)]
+    # r13 (ADVICE): entries are keyed by (path, mtime_ns, size) so a
+    # regenerated file is never served a stale plan, and the session
+    # guard is a weakref so dead sessions' plans are reclaimable
+    st = os.stat(path)
+    assert (path, st.st_mtime_ns, st.st_size) in raw
+    assert guard() is spark
     # the second Tables reused the first's raw plan (one entry, and the
     # instance caches derive from it)
     assert t1._raw is t2._raw

@@ -84,7 +84,14 @@ def main() -> None:
                 elif line.startswith("("):  # details section starts
                     break
             ops = "\n".join(seen.values())
-            rec: dict[str, object] = {"name": name, "plan_build_s": round(time.perf_counter() - t0, 2)}
+            # op_count marker (ADVICE r12): node-id dedup changed the
+            # counting scheme vs pre-r12 artifacts — tag records so
+            # cross-round comparisons can detect which scheme they mix
+            rec: dict[str, object] = {
+                "name": name,
+                "op_count": "dedup-v2",
+                "plan_build_s": round(time.perf_counter() - t0, 2),
+            }
             for node in NODES:
                 c = len(re.findall(rf"\b{re.escape(node)}\b", ops))
                 if c:
