@@ -385,7 +385,17 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_pair").over(W.partitionBy("w1")).cast("double")
         ).alias("p"),
     )
-    scored = pairs.join(lm, ["w1", "w2"])
+    # r13: SHUFFLE_HASH hint on the LM side (guide §3.1 — pick the
+    # strategy deliberately). The LM is smaller than the bigram stream
+    # but past the broadcast threshold, so the planner flapped between
+    # SMJ and runtime conversions (the query's bench variance was the
+    # suite's largest, 0.69-1.9 s); interleaved A/B (tools/ab_lm_join.py)
+    # has SHJ at 1.29 s median vs 1.41 default, no sorts of either side.
+    # An explicit broadcast measured faster still (0.92) but is a scale
+    # killer: bigram vocabulary grows with the corpus (Heaps' law) and
+    # would blow the 8 GB broadcast cap long before 100 TB, so the
+    # distributed hash join is the deliberate choice.
+    scored = pairs.join(lm.hint("shuffle_hash"), ["w1", "w2"])
     vals = F.transform(
         F.array_sort(F.collect_list(F.struct("i", "p"))), lambda s: s["p"]
     )

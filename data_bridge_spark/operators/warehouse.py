@@ -473,7 +473,8 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     # r12: base feeds three version branches (v1, changed, kept) — fence
     # the 3-column projection so customer is scanned once, not three times
-    base = plan_once(t.customer.select("c_custkey", "c_mktsegment", "c_acctbal"))
+    # (r13: lineage_cut — mechanism A/B 1.13x, tools/ab_fence_mechanism.py)
+    base = lineage_cut(t.customer.select("c_custkey", "c_mktsegment", "c_acctbal"))
     split = F.lit(_PIT_SPLIT).cast("date")
     openend = F.lit("9999-12-31").cast("date")
     v1 = base.select(
